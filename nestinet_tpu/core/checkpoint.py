@@ -1,0 +1,75 @@
+"""Checkpoint / resume.
+
+The reference saved all graph variables to a single overwritten
+`model.ckpt` every 10 epochs and had NO resume path
+(`train_n_est_w_experts.py:199, 247-250`).  Here checkpoints carry
+(params, state, opt_state, step, epoch, rng) as a msgpack blob plus a
+JSON sidecar, written atomically, and training resumes deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_NAME = "model.msgpack"
+META_NAME = "model.meta.json"
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save(ckpt_dir: str, *, params, state, opt_state, step: int, epoch: int, keep_history: bool = False) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "params": _to_host(params),
+        "state": _to_host(state),
+        "opt_state": _to_host(opt_state),
+    }
+    blob = serialization.to_bytes(payload)
+    name = f"model_e{epoch:05d}.msgpack" if keep_history else CKPT_NAME
+    path = os.path.join(ckpt_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    meta = {"step": int(step), "epoch": int(epoch), "file": name}
+    tmp = os.path.join(ckpt_dir, META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(ckpt_dir, META_NAME))
+    return path
+
+
+def exists(ckpt_dir: str) -> bool:
+    return os.path.isfile(os.path.join(ckpt_dir, META_NAME))
+
+
+def restore(ckpt_dir: str, *, params, state, opt_state):
+    """Restore into the given templates (shapes/dtypes must match).
+
+    Returns (params, state, opt_state, step, epoch).
+    """
+    with open(os.path.join(ckpt_dir, META_NAME)) as f:
+        meta = json.load(f)
+    path = os.path.join(ckpt_dir, meta["file"])
+    with open(path, "rb") as f:
+        blob = f.read()
+    template = {
+        "params": _to_host(params),
+        "state": _to_host(state),
+        "opt_state": _to_host(opt_state),
+    }
+    payload = serialization.from_bytes(template, blob)
+    return (
+        payload["params"],
+        payload["state"],
+        payload["opt_state"],
+        int(meta["step"]),
+        int(meta["epoch"]),
+    )

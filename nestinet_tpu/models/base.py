@@ -1,0 +1,91 @@
+"""Common model scaffolding.
+
+Models expose a uniform functional API (pure, jit/pjit-friendly):
+
+    model = SomeModel(cfg, gmm)
+    params, state = model.init(rng, batch)
+    outputs, new_state = model.apply(params, state, rng, batch,
+                                     is_training, bn_momentum)
+    loss, aux = model.loss(outputs, batch)
+    normals = model.predict_normals(outputs)          # [B, 3]
+
+`batch` is a dict with:
+    points:  [B, n_scales * N, 3]  per-scale concatenated patches
+    n_eff:   [B, n_scales]         effective point counts
+    normals: [B, 3]                ground-truth normals (absent at test)
+    noise:   [B]                   per-shape noise level (switching model)
+
+GMM parameters are baked into the compiled graph as device-resident
+constants — the reference re-fed w/mu/sigma through feed_dict every step
+(`train_n_est_w_experts.py:284-286`), which we deliberately do not copy.
+"""
+
+from __future__ import annotations
+
+import haiku as hk
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mups import mups
+from ..ops.nn import DenseBN, dropout
+
+
+class ModelBase:
+    def __init__(self, cfg, gmm):
+        self.cfg = cfg
+        self.gmm = gmm
+        w, mu, sigma = gmm.astuple()
+        self._w = np.asarray(w, np.float32)
+        self._mu = np.asarray(mu, np.float32)
+        self._sigma = np.asarray(sigma, np.float32)
+        self.resolution = gmm.resolution
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    # ---- shared pieces ----
+    def _mups_grid(self, points, n_eff):
+        """[B, res, res, res, 20 * n_scales] statistics grid (float32)."""
+        return mups(
+            points.astype(jnp.float32),
+            n_eff,
+            jnp.asarray(self._w),
+            jnp.asarray(self._mu),
+            jnp.asarray(self._sigma),
+            n_scales=self.cfg.n_scales,
+            resolution=self.resolution,
+        )
+
+    # ---- API to implement ----
+    def init(self, rng, batch):
+        raise NotImplementedError
+
+    def apply(self, params, state, rng, batch, is_training, bn_momentum):
+        raise NotImplementedError
+
+    def loss(self, outputs, batch):
+        raise NotImplementedError
+
+    def predict_normals(self, outputs):
+        raise NotImplementedError
+
+
+def fc_head(
+    x,
+    hidden,
+    final_units,
+    *,
+    is_training,
+    bn_momentum,
+    dropout_rate: float = 0.0,
+    final_activation=None,
+    name: str = "fc",
+):
+    """The reference's FC head shape: BN on every hidden layer, optional
+    dropout between layers, configurable final activation."""
+    for i, units in enumerate(hidden):
+        x = DenseBN(units, bn=True, name=f"{name}{i + 1}")(x, is_training, bn_momentum)
+        if dropout_rate > 0.0:
+            x = dropout(x, dropout_rate, is_training)
+    x = DenseBN(
+        final_units, bn=False, activation=final_activation, name=f"{name}{len(hidden) + 1}"
+    )(x, is_training, bn_momentum)
+    return x

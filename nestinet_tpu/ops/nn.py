@@ -1,0 +1,225 @@
+"""Neural-net building blocks (haiku) for the 3D-Inception CNNs.
+
+Capability parity with the reference ops layer (`utils/tf_util.py`):
+  * `ConvBN3D`        ~ `conv3d` (`tf_util.py:254-311`): xavier-uniform
+    kernel, zero bias, optional hand-rolled EMA BatchNorm, ReLU.
+  * `DenseBN`         ~ `fully_connected` (`tf_util.py:314-351`) — without
+    reproducing the misspelled `weigth_decay` kwarg.
+  * `BatchNormEMA`    ~ `batch_norm_template` (`tf_util.py:458-495`):
+    batch moments at train time, zero-debiased exponential moving average
+    at eval time, with the *scheduled* decay passed per call (the
+    reference's bn_decay schedule tensor, `train_n_est_w_experts.py:154-162`).
+  * `max_pool3d` / `avg_pool3d` ~ `tf_util.py:406-455`; average pooling
+    replicates TF's SAME-padding semantics (padded cells are excluded
+    from the mean, i.e. border windows divide by the valid count).
+  * `inception3d`     ~ the model files' `inception_module`
+    (`experts_n_est.py:294-314`): 1x1x1 conv n, two parallel k^3 convs of
+    n/2 each on the 1x1x1 output, and avgpool->1x1x1 conv n, channel
+    concatenated (3n output channels).
+
+Everything takes `is_training` and `bn_momentum` as call arguments so a
+single compiled graph serves both the scheduled-BN training step and
+evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import haiku as hk
+import jax
+import jax.numpy as jnp
+
+# Xavier / Glorot uniform, matching tf.contrib.layers.xavier_initializer.
+xavier_uniform = hk.initializers.VarianceScaling(1.0, "fan_avg", "uniform")
+
+
+class BatchNormEMA(hk.Module):
+    """Batch normalization with a zero-debiased EMA of batch moments.
+
+    Train: normalize with the current batch moments and fold them into the
+    moving averages with the (scheduled) `momentum` passed per call.
+    Eval: normalize with the debiased moving averages.  This mirrors TF1's
+    `ExponentialMovingAverage` applied to moment *tensors* (shadow
+    variables start at zero and are zero-debiased).
+    """
+
+    def __init__(self, eps: float = 1e-3, name: str | None = None):
+        super().__init__(name=name)
+        self.eps = eps
+
+    def __call__(self, x: jnp.ndarray, is_training: bool, momentum) -> jnp.ndarray:
+        c = x.shape[-1]
+        beta = hk.get_parameter("beta", [c], x.dtype, init=jnp.zeros)
+        gamma = hk.get_parameter("gamma", [c], x.dtype, init=jnp.ones)
+
+        axes = tuple(range(x.ndim - 1))
+        ema_mean = hk.get_state("ema_mean", [c], jnp.float32, init=jnp.zeros)
+        ema_var = hk.get_state("ema_var", [c], jnp.float32, init=jnp.zeros)
+        # Product of decays so far; debiased average = shadow / (1 - bias).
+        bias = hk.get_state("bias", [], jnp.float32, init=jnp.ones)
+
+        if is_training:
+            # Moments accumulate in float32 even under bfloat16 compute.
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            m = jnp.asarray(momentum, jnp.float32)
+            hk.set_state("ema_mean", m * ema_mean + (1.0 - m) * mean)
+            hk.set_state("ema_var", m * ema_var + (1.0 - m) * var)
+            hk.set_state("bias", m * bias)
+        else:
+            denom = jnp.maximum(1.0 - bias, 1e-12)
+            mean = (ema_mean / denom).astype(x.dtype)
+            var = (ema_var / denom).astype(x.dtype)
+
+        inv = gamma * jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
+        return (x - mean.astype(x.dtype)) * inv + beta
+
+
+class ConvBN3D(hk.Module):
+    """3D conv + bias (+ EMA BatchNorm) (+ ReLU), NDHWC, SAME padding."""
+
+    def __init__(
+        self,
+        channels: int,
+        kernel: int | Sequence[int],
+        *,
+        stride: int = 1,
+        bn: bool = True,
+        activation=jax.nn.relu,
+        name: str | None = None,
+    ):
+        super().__init__(name=name)
+        self.channels = channels
+        self.kernel = kernel if isinstance(kernel, (tuple, list)) else (kernel,) * 3
+        self.stride = stride
+        self.bn = bn
+        self.activation = activation
+
+    def __call__(self, x, is_training, bn_momentum):
+        x = hk.Conv3D(
+            output_channels=self.channels,
+            kernel_shape=tuple(self.kernel),
+            stride=self.stride,
+            padding="SAME",
+            with_bias=True,
+            w_init=xavier_uniform,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class DenseBN(hk.Module):
+    """Linear + bias (+ EMA BatchNorm) (+ activation)."""
+
+    def __init__(
+        self,
+        units: int,
+        *,
+        bn: bool = False,
+        activation=jax.nn.relu,
+        name: str | None = None,
+    ):
+        super().__init__(name=name)
+        self.units = units
+        self.bn = bn
+        self.activation = activation
+
+    def __call__(self, x, is_training, bn_momentum):
+        x = hk.Linear(self.units, w_init=xavier_uniform, name="linear")(x)
+        if self.bn:
+            x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """3D max pool, SAME padding, NDHWC."""
+    dims = (1, kernel, kernel, kernel, 1)
+    strides = (1, stride, stride, stride, 1)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, padding="SAME"
+    )
+
+
+def avg_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """3D average pool, SAME padding, excluding padded cells from the
+    mean (TF semantics — border windows divide by the valid count)."""
+    dims = (1, kernel, kernel, kernel, 1)
+    strides = (1, stride, stride, stride, 1)
+    sums = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding="SAME")
+    counts = jax.lax.reduce_window(
+        jnp.ones(x.shape[1:-1], x.dtype)[None, ..., None],
+        0.0,
+        jax.lax.add,
+        dims,
+        strides,
+        padding="SAME",
+    )
+    return sums / counts
+
+
+class Inception3D(hk.Module):
+    """The reference's 3D inception block (3n output channels)."""
+
+    def __init__(self, n_filters: int, kernel_sizes=(3, 5), name: str | None = None):
+        super().__init__(name=name)
+        self.n = int(n_filters)
+        self.k1, self.k2 = kernel_sizes
+
+    def __call__(self, x, is_training, bn_momentum):
+        one = ConvBN3D(self.n, 1, name="conv1")(x, is_training, bn_momentum)
+        b1 = ConvBN3D(self.n // 2, self.k1, name="conv2")(one, is_training, bn_momentum)
+        b2 = ConvBN3D(self.n // 2, self.k2, name="conv3")(one, is_training, bn_momentum)
+        ap = avg_pool3d(x, self.k1, 1)
+        ap = ConvBN3D(self.n, 1, name="conv4")(ap, is_training, bn_momentum)
+        return jnp.concatenate([one, b1, b2, ap], axis=-1)
+
+
+def run_backbone(x, spec, is_training, bn_momentum, *, name_prefix: str = ""):
+    """Run a backbone given as a list of layer specs and flatten.
+
+    Spec entries:
+        ("incep", n_filters, (k1, k2))
+        ("maxpool", kernel, stride)
+    """
+    for i, entry in enumerate(spec):
+        kind = entry[0]
+        if kind == "incep":
+            _, n_filters, ks = entry
+            x = Inception3D(n_filters, ks, name=f"{name_prefix}incep{i}")(
+                x, is_training, bn_momentum
+            )
+        elif kind == "maxpool":
+            _, k, s = entry
+            x = max_pool3d(x, k, s)
+        else:
+            raise ValueError(f"unknown backbone entry: {entry}")
+    return x.reshape(x.shape[0], -1)
+
+
+def dropout(x, rate: float, is_training: bool):
+    if not is_training or rate == 0.0:
+        return x
+    return hk.dropout(hk.next_rng_key(), rate, x)
+
+
+def l2_weight_penalty(params) -> jnp.ndarray:
+    """Sum of 0.5 * ||W||^2 over weight matrices/kernels (excludes biases
+    and BN parameters), matching the reference's 'losses' collection
+    semantics (`tf_util.py:36-54`).  Walks arbitrarily nested pytrees of
+    haiku parameter dicts."""
+    total = jnp.asarray(0.0, jnp.float32)
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, value in flat:
+        last = path[-1]
+        key = getattr(last, "key", None)
+        if key == "w":
+            total = total + 0.5 * jnp.sum(jnp.square(value.astype(jnp.float32)))
+    return total

@@ -1,0 +1,99 @@
+"""Jitted training / evaluation steps.
+
+One compiled SPMD program per (model, mesh): batch sharded over the
+"data" mesh axis, parameters replicated (expert stacks optionally sharded
+over "expert"), donated argument buffers, scheduled lr and BN decay
+computed in-graph from the step counter — replacing the reference's
+per-step feed_dict round trip (`train_n_est_w_experts.py:281-290`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.nn import l2_weight_penalty
+from .mesh import batch_sharding, param_shardings, replicated
+from .schedules import bn_momentum_schedule, learning_rate_schedule
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    lr = learning_rate_schedule(cfg)
+    if cfg.optimizer == "adam":
+        return optax.adam(learning_rate=lr)
+    if cfg.optimizer == "momentum":
+        return optax.sgd(learning_rate=lr, momentum=cfg.momentum)
+    raise ValueError(f"unknown optimizer: {cfg.optimizer}")
+
+
+def make_train_step(model, cfg, tx):
+    """Returns train_step(params, state, opt_state, rng, batch, step)."""
+    bn_sched = bn_momentum_schedule(cfg)
+
+    def train_step(params, state, opt_state, rng, batch, step):
+        bn_momentum = bn_sched(step)
+
+        def loss_fn(p):
+            outputs, new_state = model.apply(p, state, rng, batch, True, bn_momentum)
+            loss, aux = model.loss(outputs, batch)
+            if cfg.weight_decay > 0.0:
+                loss = loss + cfg.weight_decay * l2_weight_penalty(p)
+            return loss, (new_state, aux)
+
+        (loss, (new_state, _aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    """Returns eval_step(params, state, batch) -> (loss, cos_ang, outputs').
+
+    Runs the model in inference mode (EMA batch-norm statistics) and
+    computes the validation loss plus per-sample angular cosines; for the
+    MoE model the argmax expert's cosine is selected on-device
+    (parity: `train_n_est_w_experts.py:324-333`)."""
+
+    def eval_step(params, state, batch):
+        outputs, _ = model.apply(params, state, None, batch, False, 0.0)
+        loss, aux = model.loss(outputs, batch)
+        cos_ang = aux["cos_ang"]
+        if cos_ang.ndim == 2:  # MoE: [E, B] -> argmax expert per sample
+            idx = jnp.argmax(outputs["experts_prob"], axis=0)
+            cos_ang = jnp.take_along_axis(cos_ang, idx[None, :], axis=0)[0]
+        return loss, cos_ang
+
+    return eval_step
+
+
+def jit_train_step(train_step):
+    """Compile the train step with donated param/state/opt buffers.
+
+    Sharding is established by placement (`place_train_state` /
+    `mesh.shard_batch`) and propagated by XLA's SPMD partitioner — the
+    batch arrives sharded over "data", so the gradient all-reduce (psum
+    over ICI) is inserted automatically."""
+    return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+
+def jit_eval_step(eval_step):
+    return jax.jit(eval_step)
+
+
+def place_train_state(mesh, params, state, opt_state, *, moe: bool = False):
+    """Place params/state/opt_state on the mesh: replicated, except MoE
+    expert stacks sharded over the "expert" axis when enabled."""
+    p_sh = param_shardings(params, mesh, moe=moe)
+    s_sh = param_shardings(state, mesh, moe=moe)
+    rep = replicated(mesh)
+    params = jax.tree.map(jax.device_put, params, p_sh)
+    state = jax.tree.map(jax.device_put, state, s_sh)
+    opt_state = jax.device_put(opt_state, rep)
+    return params, state, opt_state
