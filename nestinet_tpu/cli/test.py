@@ -1,0 +1,47 @@
+"""Inference CLI (parity: `test_n_est_w_experts.py` / `test_n_est.py`).
+
+Reloads a run directory's config + GMM + checkpoint and writes
+`<run>/<dataset>_results/<shape>.normals` (plus `.experts` /
+`.experts_probs` for the MoE model) for every shape in the test list.
+
+Example:
+    python -m nestinet_tpu.cli.test --results_path=log/my_experts \
+        --dataset_name=pcpnet --testset=testset.txt --batch_size=128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..infer.predict import predict_shapes
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--results_path", default="log/my_experts",
+                   help="path to the trained run directory")
+    p.add_argument("--dataset_name", type=str, default="pcpnet")
+    p.add_argument("--dataset_path", type=str, default=None,
+                   help="full path for datasets outside the local data dir "
+                        "(NYU / ScanNet)")
+    p.add_argument("--sparse_patches", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--testset", type=str, default="testset.txt")
+    p.add_argument("--loader_workers", type=int, default=8)
+    args = p.parse_args(argv)
+
+    stats = predict_shapes(
+        args.results_path,
+        dataset_name=args.dataset_name,
+        testset=args.testset,
+        data_path=args.dataset_path,
+        batch_size=args.batch_size,
+        sparse_patches=bool(args.sparse_patches),
+        loader_workers=args.loader_workers,
+    )
+    print(json.dumps({k: v for k, v in stats.items() if k != "shapes"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

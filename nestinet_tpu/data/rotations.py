@@ -27,9 +27,10 @@ def euler2mat(z: float = 0.0, y: float = 0.0, x: float = 0.0) -> np.ndarray:
         c, s = math.cos(x), math.sin(x)
         mats.append(np.array([[1, 0, 0], [0, c, -s], [0, s, c]]))
     if mats:
+        # z is applied first => rightmost factor: M = Mx @ My @ Mz.
         m = mats[0]
         for nxt in mats[1:]:
-            m = m @ nxt
+            m = nxt @ m
         return m
     return np.eye(3)
 

@@ -1,0 +1,205 @@
+"""End-to-end: tiny synthetic dataset through train -> checkpoint ->
+resume -> streaming inference -> evaluation, plus multi-device training
+on the virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nestinet_tpu.core.config import Config
+from nestinet_tpu.core.rundir import RunDir
+from nestinet_tpu.eval.evaluate import evaluate_dataset
+from nestinet_tpu.infer.predict import predict_shapes
+from nestinet_tpu.models import build_model
+from nestinet_tpu.ops.gmm import get_3d_grid_gmm
+from nestinet_tpu.train.mesh import make_mesh, shard_batch
+from nestinet_tpu.train.train_step import (
+    jit_train_step,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    place_train_state,
+)
+from nestinet_tpu.train.trainer import Trainer
+
+from .fixtures import make_plane, make_sphere, write_pcpnet_dataset
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    root = str(tmp_path / "data")
+    shapes = {
+        "plane": make_plane(300, rng, noise=0.002),
+        "sphere": make_sphere(300, rng, noise=0.002),
+    }
+    write_pcpnet_dataset(root, shapes, list_name="trainingset.txt", n_pidx=40)
+    # test list reuses the same shapes
+    with open(os.path.join(root, "testset.txt"), "w") as f:
+        f.write("plane\nsphere\n")
+    return root
+
+
+def _tiny_cfg(root, log_dir, model="ss_norm_est", radii=(0.3,)):
+    return Config(
+        model=model,
+        log_dir=log_dir,
+        data_path=root,
+        trainset="trainingset.txt",
+        testset="trainingset.txt",
+        patch_radius=radii,
+        num_point=24,
+        patches_per_shape=16,
+        num_gaussians=3,
+        gmm_variance=0.111,
+        batch_size=8,
+        max_epoch=2,
+        learning_rate=1e-3,
+        checkpoint_every=1,
+        identical_epochs=True,
+    )
+
+
+def test_e2e_train_infer_evaluate(tiny_dataset, tmp_path):
+    cfg = _tiny_cfg(tiny_dataset, str(tmp_path / "run"))
+    trainer = Trainer(cfg, loader_workers=2)
+    trainer.fit(max_epoch=2)
+    run_path = trainer.rundir.path
+
+    # run-dir contract artifacts
+    for artifact in ("config.json", "gmm.json", "description.txt", "log_train.txt",
+                     "metrics.jsonl", "ckpt/model.msgpack", "ckpt/model.meta.json"):
+        assert os.path.exists(os.path.join(run_path, artifact)), artifact
+
+    # resume: a new trainer picks up from the checkpoint
+    trainer2 = Trainer(cfg, run_dir=RunDir.open(run_path), loader_workers=2)
+    train_loader, _, _ = trainer2.make_loaders()
+    trainer2.initialize(next(iter(train_loader)), resume=True)
+    assert trainer2.start_epoch == 2
+    assert trainer2.step == trainer.step
+
+    # streaming inference over every point of every shape
+    stats = predict_shapes(
+        run_path,
+        dataset_name="synthetic",
+        testset="testset.txt",
+        data_path=tiny_dataset,
+        batch_size=8,
+        loader_workers=2,
+    )
+    assert stats["n_patches"] == 600
+    assert sorted(stats["shapes"]) == ["plane", "sphere"]
+    out_dir = stats["output_dir"]
+    pred = np.loadtxt(os.path.join(out_dir, "plane.normals"))
+    assert pred.shape == (300, 3)
+    assert np.all(np.isfinite(pred))
+
+    # metric protocol over the written results
+    summary = evaluate_dataset(tiny_dataset, out_dir, "testset", log=lambda s: None)
+    assert np.isfinite(summary["rms"])
+    assert 0.0 <= summary["pgp5"] <= 1.0
+    assert 0.0 <= summary["pgp10"] <= 1.0
+    assert os.path.exists(
+        os.path.join(out_dir, "summary", "testset_evaluation_results.txt")
+    )
+
+
+def test_moe_train_step_multidevice(tiny_dataset, rng):
+    """One MoE train step on an 8-device mesh (4-way data x 2-way expert
+    parallel): loss finite, params update, BN state updates."""
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 virtual devices"
+
+    cfg = Config(
+        model="experts_n_est",
+        patch_radius=(0.1, 0.2, 0.3),
+        num_point=16,
+        num_gaussians=3,
+        gmm_variance=0.111,
+        batch_size=8,
+        n_experts=7,
+        data_parallel=4,
+        expert_parallel=2,
+    )
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    model = build_model(cfg, gmm)
+    mesh = make_mesh(cfg.data_parallel, cfg.expert_parallel, devices=devices)
+
+    batch_np = {
+        "points": rng.uniform(-1, 1, size=(8, 3 * 16, 3)).astype(np.float32),
+        "n_eff": np.full((8, 3), 16, dtype=np.int32),
+        "normals": rng.randn(8, 3).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    params, state = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    params, state, opt_state = place_train_state(
+        mesh, params, state, opt_state, moe=True
+    )
+
+    # the 6-expert group must actually be sharded over the expert axis
+    leaf = jax.tree.leaves(params["group0"])[0]
+    assert not leaf.sharding.is_fully_replicated
+
+    step_fn = jit_train_step(make_train_step(model, cfg, tx))
+    sharded_batch = shard_batch(batch_np, mesh)
+    old_params = jax.tree.map(lambda x: np.asarray(x), params)
+    params, state, opt_state, loss = step_fn(
+        params, state, opt_state, jax.random.PRNGKey(1), sharded_batch,
+        jnp.asarray(0, jnp.int32),
+    )
+    assert np.isfinite(float(loss))
+    new_leaf = np.asarray(jax.tree.leaves(params)[0])
+    old_leaf = np.asarray(jax.tree.leaves(old_params)[0])
+    assert not np.allclose(new_leaf, old_leaf)
+
+    # eval step runs under the same mesh
+    eval_fn = jax.jit(make_eval_step(model, cfg))
+    loss_e, cos = eval_fn(params, state, sharded_batch)
+    assert np.isfinite(float(loss_e))
+    assert cos.shape == (8,)
+
+
+def test_dp_matches_single_device(tiny_dataset, rng):
+    """Data-parallel training step must produce (numerically close)
+    identical updates to a single-device step — the collectives are an
+    implementation detail, not a semantics change."""
+    cfg = Config(
+        model="ss_norm_est",
+        patch_radius=(0.3,),
+        num_point=16,
+        num_gaussians=3,
+        gmm_variance=0.111,
+        batch_size=8,
+    )
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    model = build_model(cfg, gmm)
+
+    batch_np = {
+        "points": rng.uniform(-1, 1, size=(8, 16, 3)).astype(np.float32),
+        "n_eff": np.full((8, 1), 16, dtype=np.int32),
+        "normals": rng.randn(8, 3).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params, state = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg)
+
+    def run(mesh_devices):
+        mesh = make_mesh(len(mesh_devices), 1, devices=mesh_devices)
+        p, s, o = place_train_state(mesh, params, state, tx.init(params))
+        step_fn = jit_train_step(make_train_step(model, cfg, tx))
+        sb = shard_batch(batch_np, mesh)
+        p2, _, _, loss = step_fn(p, s, o, jax.random.PRNGKey(9), sb,
+                                 jnp.asarray(0, jnp.int32))
+        return float(loss), jax.tree.map(np.asarray, p2)
+
+    loss1, p1 = run(jax.devices()[:1])
+    loss8, p8 = run(jax.devices())
+    assert abs(loss1 - loss8) < 1e-4
+    flat1 = np.concatenate([x.ravel() for x in jax.tree.leaves(p1)])
+    flat8 = np.concatenate([x.ravel() for x in jax.tree.leaves(p8)])
+    np.testing.assert_allclose(flat1, flat8, atol=5e-4)
