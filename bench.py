@@ -69,6 +69,7 @@ def reference_proxy_rate(root) -> float:
         points_per_patch=NUM_POINT,
         features=(),
         seed=3627473,
+        use_native=False,  # the reference proxy is the scipy/numpy path
     )
     _ = ds[0]  # warm the shape cache / kd-tree
     t0 = time.perf_counter()

@@ -66,6 +66,7 @@ class PatchDataset:
         point_count_std: float = 0.0,
         cache_capacity: int = 100,
         sparse_patches: bool = False,
+        use_native: bool = True,
     ):
         self.root = root
         self.shape_list_filename = shape_list_filename
@@ -77,6 +78,16 @@ class PatchDataset:
         self.center = center
         self.point_count_std = float(point_count_std)
         self.sparse_patches = sparse_patches
+
+        # The C++ kd-tree engine covers the default hot path (no PCA, no
+        # density augmentation); other paths fall back to scipy/numpy.
+        if use_native:
+            from . import native as _native
+
+            use_native = _native.available()
+        self.use_native = (
+            use_native and not use_pca and float(point_count_std) == 0.0
+        )
 
         self.include_normals = "normal" in self.features
         self.include_curvatures = (
@@ -114,7 +125,7 @@ class PatchDataset:
 
     # ---- shape management ----
     def _load_shape_by_index(self, shape_ind: int):
-        return load_shape(
+        shape = load_shape(
             self.root,
             self.shape_names[shape_ind],
             with_normals=self.include_normals,
@@ -122,6 +133,11 @@ class PatchDataset:
             with_pidx=self.sparse_patches,
             noise_level=self.noise_levels[shape_ind],
         )
+        if self.use_native:
+            from .native import NativePatchSampler
+
+            shape.native = NativePatchSampler(shape.pts)
+        return shape
 
     def shape_index(self, global_index: int) -> tuple[int, int]:
         """global patch index -> (shape index, patch index within shape)."""
@@ -160,6 +176,33 @@ class PatchDataset:
 
         n_scales = len(self.patch_radius)
         N = self.points_per_patch
+
+        if self.use_native and shape.native is not None:
+            # C++ fast path: query + subsample + pad + center + scale in
+            # one native call (deterministic in the item seed).
+            if self.identical_epochs:
+                item_seed = (self.seed + index) % (2 ** 32)
+            else:
+                item_seed = (self.seed + 1000003 * self.epoch + index) % (2 ** 32)
+            pts, n_eff2 = shape.native.sample_patches(
+                np.asarray([center_ind], dtype=np.int64),
+                np.asarray(self.patch_radius_absolute[shape_ind], np.float32),
+                N,
+                seed=item_seed,
+                center=self.center,
+            )
+            item = {"points": pts[0], "n_eff": n_eff2[0], "trans": np.eye(3, dtype=np.float32)}
+            if self.include_normals:
+                item["normals"] = shape.normals[center_ind].astype(np.float32)
+            if self.include_curvatures:
+                curv = shape.curv[center_ind].astype(np.float32)
+                curv = curv * self.patch_radius_absolute[shape_ind][0]
+                item["max_curvature"] = curv[0:1]
+                item["min_curvature"] = curv[1:2]
+            if self.include_noise:
+                item["noise"] = np.float32(shape.noise_level)
+            return item
+
         patch_pts = np.zeros((n_scales * N, 3), dtype=np.float32)
         n_eff = np.zeros((n_scales,), dtype=np.int32)
         valid_rows = []

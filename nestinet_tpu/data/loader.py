@@ -124,6 +124,7 @@ def get_data_loader(
     workers: int = 0,
     sparse_patches: bool = False,
     drop_last: bool = False,
+    use_native: bool = True,
 ) -> tuple[BatchIterator, PatchDataset]:
     """Mirror of the reference's loader factory (`provider.py:319-429`).
 
@@ -157,6 +158,7 @@ def get_data_loader(
         center=patch_center,
         cache_capacity=cache_capacity,
         sparse_patches=sparse_patches,
+        use_native=use_native,
     )
 
     if patch_sample_order == "random":

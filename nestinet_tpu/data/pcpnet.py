@@ -39,6 +39,7 @@ class Shape:
     curv: np.ndarray | None = None
     pidx: np.ndarray | None = None
     noise_level: float = 0.0
+    native: object = None  # NativePatchSampler when the C++ engine is on
 
     @property
     def bbox_diag(self) -> float:

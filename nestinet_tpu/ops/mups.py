@@ -252,6 +252,118 @@ def tdmfv_classification(
     return fv
 
 
+def _finalize(d_pi, d_mu, d_sigma, *, flatten: bool, normalize: bool = True):
+    """Shared tail: signed-sqrt, per-channel L2 over Gaussians, layout."""
+    if normalize:
+        d_pi = _l2_normalize(_signed_sqrt(d_pi), axis=1)
+        d_mu = _l2_normalize(_signed_sqrt(d_mu), axis=1)
+        d_sigma = _l2_normalize(_signed_sqrt(d_sigma), axis=1)
+    fv = jnp.concatenate([d_pi, d_mu, d_sigma], axis=-1)
+    fv = jnp.transpose(fv, (0, 2, 1))
+    if flatten:
+        return fv.reshape(fv.shape[0], -1)
+    return fv
+
+
+def _soft_assign(points, w, mu, sigma):
+    """(scaled offsets [B,N,K,D], soft assignment Q [B,N,K])."""
+    scaled = (points[:, :, None, :] - mu[None, None]) / sigma[None, None]
+    dist2 = jnp.sum(jnp.square(scaled), axis=-1)
+    coef = 1.0 / (
+        math.pow(2.0 * math.pi, mu.shape[1] / 2.0) * jnp.prod(sigma, axis=-1)
+    )
+    p = coef[None, None] * jnp.exp(-0.5 * dist2)
+    wp = p * w[None, None]
+    q = wp / jnp.sum(wp, axis=-1, keepdims=True)
+    return scaled, q
+
+
+def tdmfv_sym(points, w, mu, sigma, *, sym_type: str = "max", flatten: bool = True):
+    """3DmFV with a single symmetric aggregation ('max'|'min'|'ss') —
+    7 channels per Gaussian (parity: `tf_util.py:756-836`).  Library
+    function carried over from 3DmFV-Net; not used by the normal
+    estimation path."""
+    B, N, D = points.shape
+    w = w.astype(points.dtype)
+    mu = mu.astype(points.dtype)
+    sigma = sigma.astype(points.dtype)
+    scaled, q = _soft_assign(points, w, mu, sigma)
+    q4 = q[..., None]
+
+    d_pi_all = ((q - w[None, None]) / (jnp.sqrt(w)[None, None] * N))[..., None]
+    d_mu_all = q4 * scaled
+    d_sig_all = q4 * (jnp.square(scaled) - 1.0)
+
+    mu_scale = 1.0 / (N * jnp.sqrt(w))[None, :, None]
+    sig_scale = 1.0 / (N * jnp.sqrt(2.0 * w))[None, :, None]
+    if sym_type == "max":
+        agg = lambda x: jnp.max(x, axis=1)  # noqa: E731
+    elif sym_type == "min":
+        agg = lambda x: jnp.min(x, axis=1)  # noqa: E731
+    elif sym_type == "ss":
+        agg = lambda x: jnp.sum(jnp.square(x), axis=1)  # noqa: E731
+    else:
+        raise ValueError(f"unknown sym_type: {sym_type}")
+    d_pi = agg(d_pi_all)
+    d_mu = mu_scale * agg(d_mu_all)
+    d_sigma = sig_scale * agg(d_sig_all)
+    return _finalize(d_pi, d_mu, d_sigma, flatten=flatten)
+
+
+def fv(points, w, mu, sigma, *, flatten: bool = True, normalize: bool = True):
+    """Plain (sum-aggregated) Fisher vector — 7 channels per Gaussian
+    (parity: `tf_util.py:839-993`, the mvn and no-mvn variants share
+    this math for diagonal GMMs)."""
+    B, N, D = points.shape
+    w = w.astype(points.dtype)
+    mu = mu.astype(points.dtype)
+    sigma = sigma.astype(points.dtype)
+    scaled, q = _soft_assign(points, w, mu, sigma)
+    q4 = q[..., None]
+
+    d_pi = jnp.sum((q - w[None, None]) / jnp.sqrt(w)[None, None], axis=1)[..., None]
+    d_mu = jnp.sum(q4 * scaled, axis=1) / jnp.sqrt(w)[None, :, None]
+    d_sigma = (
+        jnp.sum(q4 * (jnp.square(scaled) - 1.0), axis=1)
+        / jnp.sqrt(2.0 * w)[None, :, None]
+    )
+    d_pi, d_mu, d_sigma = d_pi / N, d_mu / N, d_sigma / N
+    return _finalize(d_pi, d_mu, d_sigma, flatten=flatten, normalize=normalize)
+
+
+def tdmfv_seg(points, w, mu, sigma, *, flatten: bool = True):
+    """Segmentation-flavored 3DmFV: the 20-channel global statistics plus
+    unaggregated per-point 7-channel features (parity:
+    `tf_util.py:996-1080`).  Returns (fv, fv_per_point [B, N, 7*K])."""
+    B, N, D = points.shape
+    w = w.astype(points.dtype)
+    mu = mu.astype(points.dtype)
+    sigma = sigma.astype(points.dtype)
+    scaled, q = _soft_assign(points, w, mu, sigma)
+    q4 = q[..., None]
+    inv_n = 1.0 / N
+
+    d_pi_all = (inv_n * (q - w[None, None]) / jnp.sqrt(w)[None, None])[..., None]
+    d_mu_all = q4 * scaled
+    d_sig_all = q4 * (jnp.square(scaled) - 1.0)
+
+    d_pi = jnp.concatenate(
+        [jnp.max(d_pi_all, axis=1), jnp.sum(d_pi_all, axis=1)], axis=-1
+    )
+    d_mu = inv_n / jnp.sqrt(w)[None, :, None] * jnp.concatenate(
+        [jnp.max(d_mu_all, axis=1), jnp.min(d_mu_all, axis=1), jnp.sum(d_mu_all, axis=1)],
+        axis=-1,
+    )
+    d_sigma = inv_n / jnp.sqrt(2.0 * w)[None, :, None] * jnp.concatenate(
+        [jnp.max(d_sig_all, axis=1), jnp.min(d_sig_all, axis=1), jnp.sum(d_sig_all, axis=1)],
+        axis=-1,
+    )
+    out = _finalize(d_pi, d_mu, d_sigma, flatten=flatten)
+    fv_per_point = jnp.concatenate([d_pi_all, d_mu_all, d_sig_all], axis=3)
+    fv_per_point = fv_per_point.reshape(B, N, -1)
+    return out, fv_per_point
+
+
 # ---------------------------------------------------------------------------
 # numpy reference implementations (library functions; parity with the
 # reference's host-side oracles `utils/utils.py:147-330`).

@@ -7,8 +7,10 @@ exercised exactly as it would be on an 8-chip slice.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force-override: the
+# ambient environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
+# tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
