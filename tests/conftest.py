@@ -7,15 +7,20 @@ exercised exactly as it would be on an 8-chip slice.
 
 import os
 
-# Must be set before jax is imported anywhere.  Force-override: the
-# ambient environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
-# tests must run on the virtual CPU mesh.
+# Must run before jax initializes its backends.  Env vars are NOT enough
+# here: the machine's sitecustomize registers the axon TPU plugin at
+# interpreter start and pins the platform, so the config update below is
+# the authoritative override onto the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_platforms", "cpu")
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
