@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--data_path", type=str, default="data/pcpnet/")
     p.add_argument("--sparse_patches", type=int, default=1)
     p.add_argument("--dataset_list", type=str, nargs="+", default=["testset"])
+    p.add_argument("--export_visualizations", type=int, default=0,
+                   help="write per-shape (phi,theta) plots + cloud renders "
+                        "(reference EXPORT branch, utils/evaluate.py:161-185)")
+    p.add_argument("--n_experts", type=int, default=7)
+    p.add_argument("--expert_statistics", type=int, default=0,
+                   help="also aggregate per-expert error/usage statistics "
+                        "(parity: MATLAB/compute_expert_statistics.m)")
     args = p.parse_args(argv)
 
     evaluate_datasets(
@@ -29,7 +36,17 @@ def main(argv=None):
         args.normal_results_path,
         args.dataset_list,
         sparse_patches=bool(args.sparse_patches),
+        export=bool(args.export_visualizations),
+        n_experts=args.n_experts,
     )
+    if args.expert_statistics:
+        from ..eval.expert_stats import compute_expert_statistics
+
+        for d in args.dataset_list:
+            compute_expert_statistics(
+                args.data_path, args.normal_results_path, d,
+                n_experts=args.n_experts,
+            )
 
 
 if __name__ == "__main__":

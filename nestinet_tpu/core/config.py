@@ -74,6 +74,9 @@ class Config:
     data_parallel: int = 1  # chips along the batch ("data") mesh axis
     expert_parallel: int = 1  # chips along the expert mesh axis (MoE only)
     compute_dtype: str = "float32"  # CNN compute dtype: float32 | bfloat16
+    # MuPS statistics implementation: "auto" picks the fused Pallas
+    # kernel on TPU backends and the XLA broadcast+reduce path elsewhere.
+    mups_impl: str = "auto"  # auto | jnp | pallas
 
     # checkpointing
     checkpoint_every: int = 10  # epochs

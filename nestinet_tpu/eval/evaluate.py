@@ -13,7 +13,63 @@ import os
 
 import numpy as np
 
-from .metrics import angle_errors_deg, pgp, rms_angle_deg
+from .metrics import angle_errors_deg, pgp, rms_angle_deg, unoriented_flip
+
+
+def _export_shape(
+    data_path, results_path, shape, points_idx,
+    normals_gt, normals_pred, experts, n_experts, *, sparse, footnote,
+):
+    """Per-shape visual export: (phi, theta)-domain plots + cloud
+    renders (reference `utils/evaluate.py:161-185` + the MATLAB
+    pipeline)."""
+    import matplotlib.pyplot as plt
+
+    from ..viz.clouds import export_shape_visualizations
+    from ..viz.normals import (
+        discrete_cmap,
+        draw_line_segments,
+        draw_phi_theta_domain,
+        euclidean_to_spherical,
+    )
+
+    vis_dir = os.path.join(results_path, "images")
+    phi_dir = os.path.join(vis_dir, "phi_theta")
+    os.makedirs(phi_dir, exist_ok=True)
+
+    # Sign-align predictions with GT before mapping to the sphere
+    # (unoriented protocol; reference `evaluate.py:152-158`).
+    pred_aligned = unoriented_flip(normals_pred, normals_gt)
+    phi_gt, theta_gt = euclidean_to_spherical(normals_gt)
+    phi_pr, theta_pr = euclidean_to_spherical(pred_aligned)
+
+    ax = draw_phi_theta_domain(
+        phi_gt, theta_gt, color="k",
+        title=r"$\theta(\phi)$ " + shape,
+    )
+    draw_line_segments(phi_gt, theta_gt, phi_pr, theta_pr, ax=ax,
+                       footnote=footnote)
+    if experts is not None:
+        draw_phi_theta_domain(
+            phi_pr, theta_pr, color=experts, ax=ax,
+            cmap=discrete_cmap(n_experts), n_labels=n_experts,
+            filename=os.path.join(phi_dir, shape + "_phi_theta_domain"),
+        )
+    else:
+        draw_phi_theta_domain(
+            phi_pr, theta_pr, color="r", ax=ax,
+            filename=os.path.join(phi_dir, shape + "_phi_theta_domain"),
+        )
+    plt.close(ax.figure)
+
+    points = np.loadtxt(os.path.join(data_path, shape + ".xyz"))
+    if sparse:
+        points = points[points_idx]
+    ang, _ = angle_errors_deg(normals_gt, normals_pred)
+    export_shape_visualizations(
+        points, normals_gt, pred_aligned, vis_dir, shape,
+        experts=experts, n_experts=n_experts, angle_errors=ang,
+    )
 
 
 def evaluate_dataset(
@@ -22,8 +78,18 @@ def evaluate_dataset(
     dataset: str,
     *,
     sparse_patches: bool = True,
+    export: bool = False,
+    n_experts: int = 7,
     log=print,
 ) -> dict:
+    """Metric pass over one dataset list.
+
+    With `export=True`, additionally writes per-shape (phi, theta)-domain
+    plots (GT->prediction segments, expert-colored predictions when
+    `.experts` files exist) and normal/error/expert cloud renders —
+    parity with the reference's EXPORT branch (`utils/evaluate.py:161-185`)
+    plus the MATLAB render pipeline (`MATLAB/export_visualizations.m`).
+    """
     list_path = os.path.join(data_path, dataset + ".txt")
     with open(list_path) as f:
         shape_names = [x.strip() for x in f.readlines() if x.strip()]
@@ -41,16 +107,34 @@ def evaluate_dataset(
         ).astype(np.float32)
         points_idx = np.loadtxt(os.path.join(data_path, shape + ".pidx")).astype(int)
 
+        experts = None
+        experts_path = os.path.join(results_path, shape + ".experts")
+        if os.path.exists(experts_path):
+            experts = np.loadtxt(experts_path).astype(int)
+
         sparse_normals = normals_pred.shape[0] != normals_gt.shape[0]
         normals_gt = normals_gt[points_idx]
         if sparse_patches and not sparse_normals:
             normals_pred = normals_pred[points_idx]
+            if experts is not None:
+                experts = experts[points_idx]
 
         ang, ang_o = angle_errors_deg(normals_gt, normals_pred)
         rms.append(rms_angle_deg(ang))
         rms_o.append(rms_angle_deg(ang_o))
         pgp10.append(pgp(ang, 10.0))
         pgp5.append(pgp(ang, 5.0))
+
+        if export:
+            _export_shape(
+                data_path, results_path, shape, points_idx,
+                normals_gt, normals_pred, experts, n_experts,
+                sparse=sparse_patches or sparse_normals,
+                footnote=(
+                    f"RMS unoriented= {rms[-1]:.3f}, "
+                    f"PGP5= {pgp5[-1]:.3f}, PGP10= {pgp10[-1]:.3f}"
+                ),
+            )
 
     summary = {
         "dataset": dataset,
@@ -86,11 +170,14 @@ def evaluate_datasets(
     dataset_list,
     *,
     sparse_patches: bool = True,
+    export: bool = False,
+    n_experts: int = 7,
     log=print,
 ) -> list[dict]:
     return [
         evaluate_dataset(
-            data_path, results_path, d, sparse_patches=sparse_patches, log=log
+            data_path, results_path, d, sparse_patches=sparse_patches,
+            export=export, n_experts=n_experts, log=log,
         )
         for d in dataset_list
     ]

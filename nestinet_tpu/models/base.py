@@ -40,6 +40,14 @@ class ModelBase:
         self._sigma = np.asarray(sigma, np.float32)
         self.resolution = gmm.resolution
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        impl = getattr(cfg, "mups_impl", "auto")
+        if impl == "auto":
+            # Resolved at model-construction time (host side): the fused
+            # Pallas kernel on real TPU backends, XLA fusion elsewhere.
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.mups_impl = impl
 
     # ---- shared pieces ----
     def _mups_grid(self, points, n_eff):
@@ -52,6 +60,7 @@ class ModelBase:
             jnp.asarray(self._sigma),
             n_scales=self.cfg.n_scales,
             resolution=self.resolution,
+            impl=self.mups_impl,
         )
 
     # ---- API to implement ----

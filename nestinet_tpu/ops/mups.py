@@ -155,7 +155,7 @@ def tdmfv_n_est(
     return fv
 
 
-@partial(jax.jit, static_argnames=("n_scales", "resolution"))
+@partial(jax.jit, static_argnames=("n_scales", "resolution", "impl"))
 def mups(
     points: jnp.ndarray,
     n_eff: jnp.ndarray,
@@ -165,12 +165,15 @@ def mups(
     *,
     n_scales: int,
     resolution: int,
+    impl: str = "jnp",
 ) -> jnp.ndarray:
     """Multi-scale point statistics (MuPS) grid.
 
     Args:
         points: [B, n_scales * N, 3] concatenated per-scale patches.
         n_eff:  [B, n_scales] effective point counts.
+        impl:   "jnp" (broadcast+reduce, XLA-fused) or "pallas" (the
+                fused VMEM-resident TPU kernel in ops/pallas/).
     Returns:
         [B, res, res, res, 20 * n_scales]; channel c of scale s lands at
         index s * 20 + c, matching the reference channel-concat
@@ -180,11 +183,27 @@ def mups(
     N = total // n_scales
     K = resolution ** 3
     pts = points.reshape(B, n_scales, N, D)
-    fv = jax.vmap(
-        lambda p, ne: tdmfv_n_est(p, w, mu, sigma, ne, flatten=False),
-        in_axes=(1, 1),
-        out_axes=1,
-    )(pts, n_eff)  # [B, n_scales, 20, K]
+    if impl == "pallas":
+        from .pallas.mups_kernel import tdmfv_n_est_pallas
+
+        # One kernel launch over the merged (batch, scale) grid: the
+        # per-patch program is identical across scales, so B*n_scales
+        # programs beats vmap-of-pallas_call both in compile time and
+        # in scheduling freedom.
+        flat = tdmfv_n_est_pallas(
+            pts.reshape(B * n_scales, N, D),
+            w,
+            mu,
+            sigma,
+            n_eff.reshape(B * n_scales),
+        )  # [B*n_scales, 20, K]
+        fv = flat.reshape(B, n_scales, N_CHANNELS, K)
+    else:
+        fv = jax.vmap(
+            lambda p, ne: tdmfv_n_est(p, w, mu, sigma, ne, flatten=False),
+            in_axes=(1, 1),
+            out_axes=1,
+        )(pts, n_eff)  # [B, n_scales, 20, K]
     # [B, n_scales, 20, K] -> [B, K, n_scales, 20] -> grid
     fv = jnp.transpose(fv, (0, 3, 1, 2)).reshape(
         B, resolution, resolution, resolution, n_scales * N_CHANNELS
@@ -368,6 +387,21 @@ def tdmfv_seg(points, w, mu, sigma, *, flatten: bool = True):
 # numpy reference implementations (library functions; parity with the
 # reference's host-side oracles `utils/utils.py:147-330`).
 # ---------------------------------------------------------------------------
+
+
+def soft_assignment_np(points: np.ndarray, gmm) -> np.ndarray:
+    """Posterior responsibilities q[n, k] of each point under a diagonal
+    GMM (numpy, host-side; used by viz and the learned-GMM path)."""
+    points = np.atleast_2d(points)
+    weights, means, covariances = gmm.weights, gmm.means, gmm.covariances
+    diff = points[:, None, :] - means[None]  # [N,K,D]
+    log_p = -0.5 * np.sum(diff ** 2 / covariances[None], axis=-1)
+    log_p += -0.5 * np.sum(np.log(2.0 * np.pi * covariances), axis=-1)[None]
+    log_wp = log_p + np.log(weights)[None]
+    log_wp -= log_wp.max(axis=1, keepdims=True)
+    q = np.exp(log_wp)
+    q /= q.sum(axis=1, keepdims=True)
+    return q
 
 
 def fisher_vector_np(xx: np.ndarray, gmm, normalization: bool = True) -> np.ndarray:

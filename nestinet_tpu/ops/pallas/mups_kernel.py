@@ -17,7 +17,9 @@ the jnp reference implementation, so the kernel is usable inside the
 training graph too (forward fast path + autodiff-correct backward).
 
 Layout notes (see the TPU tiling constraints in the Pallas guide):
-  * points are passed as [B, 3, N] so the large N axis sits on lanes;
+  * points stay in their native [B, N, 3] layout (N on sublanes); the
+    [N, K] compute space is formed by [N, 1] x [1, K] slice-broadcasts,
+    never by advanced indexing (Mosaic has no general gather);
   * GMM parameters are passed as [3, K] / [1, K] with K on lanes
     (K = 512 for the flagship 8^3 grid -> 4 full lane tiles);
   * per-patch effective counts ride the scalar-prefetch channel.
@@ -39,32 +41,38 @@ _EPS = 1e-12
 
 
 def _kernel(n_eff_ref, pts_ref, mu_ref, sigma_ref, w_ref, out_ref):
+    # NOTE on layout: everything below is pure slices + broadcasts —
+    # Mosaic has no general gather, so e.g. `pts[0, :, None]` (advanced
+    # indexing) must not appear here.  Points ride with N on sublanes
+    # and the coordinate axis on lanes; the [N, K] compute space puts
+    # K on lanes (full 128-lane tiles for the flagship K=512).
     b = pl.program_id(0)
     n_eff = n_eff_ref[b]
 
-    pts = pts_ref[0]  # [3, N]
+    pts = pts_ref[0]  # [N, 3]
     mu = mu_ref[:]  # [3, K]
     sigma = sigma_ref[:]  # [3, K]
     w = w_ref[:]  # [1, K]
 
-    n = pts.shape[1]
+    n = pts.shape[0]
     k = mu.shape[1]
     d_dims = 3
 
     inv_sigma = 1.0 / sigma  # [3, K]
 
-    # Scaled offsets per dimension: [N, K] each.
-    scaled0 = (pts[0, :, None] - mu[0, None, :]) * inv_sigma[0, None, :]
-    scaled1 = (pts[1, :, None] - mu[1, None, :]) * inv_sigma[1, None, :]
-    scaled2 = (pts[2, :, None] - mu[2, None, :]) * inv_sigma[2, None, :]
+    # Scaled offsets per dimension: [N, K] = [N, 1] - [1, K] broadcasts.
+    scaled0 = (pts[:, 0:1] - mu[0:1, :]) * inv_sigma[0:1, :]
+    scaled1 = (pts[:, 1:2] - mu[1:2, :]) * inv_sigma[1:2, :]
+    scaled2 = (pts[:, 2:3] - mu[2:3, :]) * inv_sigma[2:3, :]
 
     dist2 = scaled0 * scaled0 + scaled1 * scaled1 + scaled2 * scaled2  # [N,K]
-    # Isotropic pdf coefficient (sigma[0] ** D), parity with the
+    # Isotropic pdf coefficient (sigma_x ** D), parity with the
     # reference's manual formula (`tf_util.py:687`).
-    coef = 1.0 / (
-        math.pow(2.0 * math.pi, d_dims / 2.0) * jnp.power(sigma[0], d_dims)
-    )  # [K]
-    p = coef[None, :] * jnp.exp(-0.5 * dist2)  # [N, K]
+    sig0 = sigma[0:1, :]  # [1, K]
+    coef = (1.0 / math.pow(2.0 * math.pi, d_dims / 2.0)) / (
+        sig0 * sig0 * sig0
+    )  # [1, K]
+    p = coef * jnp.exp(-0.5 * dist2)  # [N, K]
 
     wp = p * w  # [N, K] (w broadcasts from [1, K])
     q = wp / jnp.sum(wp, axis=1, keepdims=True)
@@ -105,12 +113,11 @@ def _kernel(n_eff_ref, pts_ref, mu_ref, sigma_ref, w_ref, out_ref):
     stats = jnp.stack(chans, axis=0)  # [20, K] in kernel-local order:
     # rows 0-1: pi(max,sum); 2-4 mu_max xyz; 5-7 mu_min; 8-10 mu_sum;
     # 11-13 sig_max; 14-16 sig_min; 17-19 sig_sum — the reference layout.
-    w_row = w[0][None, :]  # [1, K]
     scale_rows = jnp.concatenate(
         [
             jnp.ones((2, k), jnp.float32),
-            jnp.tile(jax.lax.rsqrt(w_row), (9, 1)),
-            jnp.tile(jax.lax.rsqrt(2.0 * w_row), (9, 1)),
+            jnp.tile(jax.lax.rsqrt(w), (9, 1)),
+            jnp.tile(jax.lax.rsqrt(2.0 * w), (9, 1)),
         ],
         axis=0,
     )
@@ -133,7 +140,7 @@ def tdmfv_n_est_pallas(points, w, mu, sigma, n_eff):
 def _forward(points, w, mu, sigma, n_eff):
     B, N, _ = points.shape
     K = mu.shape[0]
-    pts_t = jnp.transpose(points.astype(jnp.float32), (0, 2, 1))  # [B,3,N]
+    pts_f = points.astype(jnp.float32)  # [B,N,3] — native layout, no transpose
     mu_t = jnp.transpose(mu.astype(jnp.float32))  # [3,K]
     sigma_t = jnp.transpose(sigma.astype(jnp.float32))  # [3,K]
     w_row = w.astype(jnp.float32)[None, :]  # [1,K]
@@ -143,7 +150,7 @@ def _forward(points, w, mu, sigma, n_eff):
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 3), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, K), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, K), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda b, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -162,7 +169,7 @@ def _forward(points, w, mu, sigma, n_eff):
             bytes_accessed=B * (3 * N + 20 * K) * 4,
             transcendentals=B * N * K,
         ),
-    )(n_eff, pts_t, mu_t, sigma_t, w_row)
+    )(n_eff, pts_f, mu_t, sigma_t, w_row)
 
 
 def _fwd(points, w, mu, sigma, n_eff):

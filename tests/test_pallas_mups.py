@@ -72,3 +72,30 @@ def test_kernel_grad_matches_jnp(rng):
     g_pallas = np.asarray(jax.grad(loss_pallas)(pts_j))
     g_ref = np.asarray(jax.grad(loss_ref)(pts_j))
     np.testing.assert_allclose(g_pallas, g_ref, atol=1e-4)
+
+
+def test_mups_dispatch_pallas_matches_jnp(rng):
+    """The multi-scale mups() wrapper gives identical grids through the
+    merged-batch pallas path and the vmap-ed jnp path."""
+    from nestinet_tpu.ops.mups import mups
+
+    m, n_scales, B, N = 3, 3, 2, 32
+    gmm = get_3d_grid_gmm([m, m, m], variance=(1.0 / m) ** 2)
+    w, mu, sigma = gmm.astuple()
+    pts = rng.uniform(-1, 1, size=(B, n_scales * N, 3)).astype(np.float32)
+    n_eff = rng.randint(4, N, size=(B, n_scales)).astype(np.int32)
+    for b in range(B):
+        for s in range(n_scales):
+            pts[b, s * N + n_eff[b, s]: (s + 1) * N] = 0.0
+
+    kwargs = dict(n_scales=n_scales, resolution=m)
+    got = np.asarray(
+        mups(jnp.asarray(pts), jnp.asarray(n_eff), w, mu, sigma,
+             impl="pallas", **kwargs)
+    )
+    want = np.asarray(
+        mups(jnp.asarray(pts), jnp.asarray(n_eff), w, mu, sigma,
+             impl="jnp", **kwargs)
+    )
+    assert got.shape == want.shape == (B, m, m, m, 20 * n_scales)
+    np.testing.assert_allclose(got, want, atol=1e-5)

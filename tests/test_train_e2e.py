@@ -190,7 +190,12 @@ def test_dp_matches_single_device(tiny_dataset, rng):
 
     def run(mesh_devices):
         mesh = make_mesh(len(mesh_devices), 1, devices=mesh_devices)
-        p, s, o = place_train_state(mesh, params, state, tx.init(params))
+        # Fresh copies: the jitted step donates its state arguments, and
+        # on a 1-device mesh place_train_state can alias the originals —
+        # without the copy the second run() would see deleted buffers.
+        p0 = jax.tree.map(jnp.copy, params)
+        s0 = jax.tree.map(jnp.copy, state)
+        p, s, o = place_train_state(mesh, p0, s0, tx.init(p0))
         step_fn = jit_train_step(make_train_step(model, cfg, tx))
         sb = shard_batch(batch_np, mesh)
         p2, _, _, loss = step_fn(p, s, o, jax.random.PRNGKey(9), sb,
