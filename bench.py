@@ -104,7 +104,7 @@ def build_run(root) -> str:
         ),
         "n_eff": jnp.full((BATCH, len(RADII)), NUM_POINT, jnp.int32),
     }
-    params, state = model.init(jax.random.PRNGKey(0), batch)
+    params, state = model.init_jitted(jax.random.PRNGKey(0), batch)
     opt_state = make_optimizer(cfg).init(params)
     ckpt_lib.save(
         rd.ckpt_dir, params=params, state=state, opt_state=opt_state, step=0, epoch=0
@@ -113,11 +113,18 @@ def build_run(root) -> str:
 
 
 def main():
+    t0 = time.perf_counter()
+
+    def mark(msg):  # progress to stderr; stdout stays one JSON line
+        print(f"[bench {time.perf_counter() - t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
     with tempfile.TemporaryDirectory() as root:
         make_shape(root, N_SHAPE_POINTS)
         ref_rate = reference_proxy_rate(root)
+        mark(f"reference proxy: {ref_rate:.1f} patches/s")
 
         run_path = build_run(root)
+        mark("run dir built (jitted init + checkpoint)")
         # warmup pass: compile + caches
         predict_shapes(
             run_path,
@@ -127,6 +134,7 @@ def main():
             batch_size=BATCH,
             loader_workers=8,
         )
+        mark("warmup inference done (forward compiled)")
         stats = predict_shapes(
             run_path,
             dataset_name="bench",
@@ -135,6 +143,7 @@ def main():
             batch_size=BATCH,
             loader_workers=8,
         )
+        mark(f"bench inference done: {stats['patches_per_sec']:.1f} patches/s")
         ours = stats["patches_per_sec"]
 
     print(

@@ -14,7 +14,11 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..infer.predict import predict_shapes
+from ..core.platform import apply_platform_env
+
+apply_platform_env()
+
+from ..infer.predict import predict_shapes  # noqa: E402
 
 
 def main(argv=None):

@@ -20,8 +20,12 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..core.config import Config
-from ..train.trainer import Trainer
+from ..core.platform import apply_platform_env
+
+apply_platform_env()
+
+from ..core.config import Config  # noqa: E402
+from ..train.trainer import Trainer  # noqa: E402
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -67,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loader_workers", type=int, default=8)
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--resume", type=int, default=1)
+    p.add_argument("--profile_epoch", type=int, default=-1,
+                   help="capture a jax.profiler trace of this epoch into "
+                        "<run>/profile/ (-1 disables)")
+    p.add_argument("--mups_impl", type=str, default="auto",
+                   choices=["auto", "jnp", "pallas"],
+                   help="3DmFV statistics implementation (auto = pallas "
+                        "kernel on TPU, XLA fusion elsewhere)")
     return p
 
 
@@ -106,6 +117,8 @@ def config_from_args(args) -> Config:
         expert_parallel=args.expert_parallel,
         compute_dtype=args.compute_dtype,
         checkpoint_every=args.checkpoint_every,
+        profile_epoch=args.profile_epoch,
+        mups_impl=args.mups_impl,
     )
 
 

@@ -80,6 +80,10 @@ class Config:
 
     # checkpointing
     checkpoint_every: int = 10  # epochs
+    # Capture a jax.profiler device trace (TensorBoard/Perfetto) of this
+    # epoch into <run>/profile/ (-1 disables).  The reference had no
+    # profiling subsystem at all (SURVEY §5).
+    profile_epoch: int = -1
 
     # ---- derived helpers ----
     @property

@@ -40,7 +40,7 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict):
 
     rng = jax.random.PRNGKey(cfg.seed)
     batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
-    params, state = model.init(rng, batch)
+    params, state = model.init_jitted(rng, batch)
     opt_state = make_optimizer(cfg).init(params)
     params, state, _, _, _ = ckpt_lib.restore(
         rd.ckpt_dir, params=params, state=state, opt_state=opt_state
@@ -101,7 +101,25 @@ def predict_shapes(
         n_experts=cfg.n_experts if is_moe else None,
     )
 
+    def _drain(pending):
+        """Materialize a dispatched batch's outputs into the writer."""
+        real, outs = pending
+        if is_moe:
+            normals, experts, probs = outs
+            writer.append(
+                np.asarray(normals)[:real],
+                np.asarray(experts)[:real],
+                np.asarray(probs)[:real],
+            )
+        else:
+            writer.append(np.asarray(outs)[:real])
+
+    # One-deep software pipeline: jax dispatch is async, so batch i
+    # computes on the TPU while the host loader extracts patches for
+    # i+1 and the writer scatters i-1 (the reference ran these three
+    # strictly serially each step, `test_n_est_w_experts.py:129-197`).
     n_patches = 0
+    pending = None
     t0 = time.perf_counter()
     for batch in loader:
         real = batch["points"].shape[0]
@@ -110,17 +128,13 @@ def predict_shapes(
             "points": jnp.asarray(batch["points"]),
             "n_eff": jnp.asarray(batch["n_eff"]),
         }
-        if is_moe:
-            normals, experts, probs = fwd(params, state, device_batch)
-            writer.append(
-                np.asarray(normals)[:real],
-                np.asarray(experts)[:real],
-                np.asarray(probs)[:real],
-            )
-        else:
-            normals = fwd(params, state, device_batch)
-            writer.append(np.asarray(normals)[:real])
+        outs = fwd(params, state, device_batch)
+        if pending is not None:
+            _drain(pending)
+        pending = (real, outs)
         n_patches += real
+    if pending is not None:
+        _drain(pending)
     elapsed = time.perf_counter() - t0
 
     assert writer.done, "writer did not consume all shapes"

@@ -67,6 +67,20 @@ class ModelBase:
     def init(self, rng, batch):
         raise NotImplementedError
 
+    def init_jitted(self, rng, batch):
+        """`init` under one jax.jit.
+
+        The eager init path dispatches hundreds of tiny executables —
+        negligible locally but minutes of round-trips through a remote
+        TPU tunnel; one compiled program (persistently cacheable) fixes
+        that.  Prefer this at every production call site.
+        """
+        if getattr(self, "_jit_init", None) is None:
+            import jax
+
+            self._jit_init = jax.jit(self.init)
+        return self._jit_init(rng, batch)
+
     def apply(self, params, state, rng, batch, is_training, bn_momentum):
         raise NotImplementedError
 

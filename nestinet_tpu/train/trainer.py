@@ -17,6 +17,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt_lib
 from ..core.config import Config
+from ..core.profiling import StepTimer, trace
 from ..core.rundir import RunDir
 from ..data.augment import rotate_patches_and_normals
 from ..data.loader import get_data_loader
@@ -114,7 +115,7 @@ class Trainer:
     def initialize(self, sample_batch: dict, resume: bool = True):
         rng = jax.random.PRNGKey(self.cfg.seed)
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
-        params, state = self.model.init(rng, batch)
+        params, state = self.model.init_jitted(rng, batch)
         opt_state = self.tx.init(params)
         if resume and ckpt_lib.exists(self.rundir.ckpt_dir):
             params, state, opt_state, self.step, epoch = ckpt_lib.restore(
@@ -136,28 +137,38 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         aug_rng = np.random.RandomState(cfg.seed + 17 + epoch)
         loss_sum, n_batches = 0.0, 0
-        for batch in loader:
-            if cfg.insert_rotation_augmentation:
-                batch = dict(batch)
-                batch["points"], batch["normals"] = rotate_patches_and_normals(
-                    batch["points"], batch["normals"], aug_rng
-                )
-            batch = shard_batch(batch, self.mesh)
-            rng = jax.random.fold_in(base_key, self.step)
-            self.params, self.state, self.opt_state, loss = self._train_step(
-                self.params,
-                self.state,
-                self.opt_state,
-                rng,
-                batch,
-                jnp.asarray(self.step, jnp.int32),
-            )
-            self.step += 1
-            loss_sum += float(loss)
-            n_batches += 1
+        timer = StepTimer()
+        with trace(
+            os.path.join(self.rundir.path, "profile"),
+            enabled=epoch == cfg.profile_epoch,
+        ):
+            for batch in loader:
+                if cfg.insert_rotation_augmentation:
+                    batch = dict(batch)
+                    batch["points"], batch["normals"] = rotate_patches_and_normals(
+                        batch["points"], batch["normals"], aug_rng
+                    )
+                batch = shard_batch(batch, self.mesh)
+                rng = jax.random.fold_in(base_key, self.step)
+                with timer.step():
+                    self.params, self.state, self.opt_state, loss = self._train_step(
+                        self.params,
+                        self.state,
+                        self.opt_state,
+                        rng,
+                        batch,
+                        jnp.asarray(self.step, jnp.int32),
+                    )
+                    loss = float(loss)  # device sync: step time is real
+                self.step += 1
+                loss_sum += loss
+                n_batches += 1
         mean_loss = loss_sum / max(n_batches, 1)
         self.rundir.log(f"epoch {epoch:4d} train mean loss: {mean_loss:.6f}")
-        self.rundir.metrics(kind="train", epoch=epoch, step=self.step, loss=mean_loss)
+        self.rundir.metrics(
+            kind="train", epoch=epoch, step=self.step, loss=mean_loss,
+            **{f"step_{k}": v for k, v in timer.summary().items()},
+        )
         return mean_loss
 
     def eval_one_epoch(self, loader, dataset, epoch: int) -> tuple[float, float]:

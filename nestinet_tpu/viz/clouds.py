@@ -91,6 +91,33 @@ def visualize_pc_experts(points, experts, n_experts: int = 7, *, ax=None,
     return ax
 
 
+def visualize_pc_seg(points, seg, n_classes: int, *, ax=None, filename=None,
+                     fmt="png", label="class"):
+    """Cloud colored by discrete segmentation labels
+    (parity: `visualization.py:226-250`)."""
+    ax, sc = _scatter3(
+        np.asarray(points), np.asarray(seg), ax=ax,
+        cmap=discrete_cmap(n_classes), vmin=-0.5, vmax=n_classes - 0.5,
+    )
+    cb = ax.figure.colorbar(sc, ax=ax, fraction=0.03, ticks=range(n_classes))
+    cb.set_label(label)
+    if filename:
+        ax.figure.savefig(f"{filename}.{fmt}", dpi=150, bbox_inches="tight")
+    return ax
+
+
+def visualize_pc_seg_diff(points, seg_gt, seg_pred, *, ax=None, filename=None,
+                          fmt="png"):
+    """Correct/incorrect label overlay: wrong points in red
+    (parity: `visualization.py:251-276`)."""
+    wrong = (np.asarray(seg_gt) != np.asarray(seg_pred)).astype(float)
+    ax, _ = _scatter3(np.asarray(points), wrong, ax=ax, cmap="RdYlGn_r",
+                      vmin=0.0, vmax=1.0)
+    if filename:
+        ax.figure.savefig(f"{filename}.{fmt}", dpi=150, bbox_inches="tight")
+    return ax
+
+
 def visualize_confusion_matrix(y_true, y_pred, *, classes=None,
                                normalize=False, ax=None, filename=None,
                                fmt="png", cmap="viridis"):

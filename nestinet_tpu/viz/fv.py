@@ -138,6 +138,85 @@ def draw_gaussians(
     return ax
 
 
+def visualize_fv_with_pc(
+    fv: np.ndarray,
+    points: np.ndarray,
+    *,
+    resolution: int | None = None,
+    n_scales: int = 1,
+    filename: str | None = None,
+    fmt: str = "png",
+    fig_title: str = "patch + 3DmFV",
+):
+    """One patch and its statistics side by side
+    (parity: `visualization.py:378-495`)."""
+    plt = _mpl()
+    fv = np.asarray(fv)
+    if fv.ndim == 1:
+        fv = fv.reshape(20 * n_scales, -1)
+    C, K = fv.shape
+    if resolution is None:
+        resolution = int(round(K ** (1.0 / 3.0)))
+    fig = plt.figure(figsize=(12, 4))
+    fig.suptitle(fig_title)
+    ax_pc = fig.add_subplot(1, 2, 1, projection="3d")
+    ax_pc.scatter(points[:, 0], points[:, 1], points[:, 2], s=3, c="k")
+    ax_pc.set_xlim(-1, 1)
+    ax_pc.set_ylim(-1, 1)
+    ax_pc.set_zlim(-1, 1)
+    ax_fv = fig.add_subplot(1, 2, 2)
+    peak = np.max(np.abs(fv), axis=1, keepdims=True)
+    img = fv / np.where(peak == 0, 1.0, peak)
+    im = ax_fv.imshow(img, aspect="auto", cmap="seismic", vmin=-1, vmax=1)
+    ax_fv.set_ylabel("channel")
+    ax_fv.set_xlabel(f"Gaussian (K = {resolution}^3)")
+    fig.colorbar(im, ax=ax_fv, fraction=0.03)
+    if filename:
+        fig.savefig(f"{filename}.{fmt}", dpi=150, bbox_inches="tight")
+    return fig
+
+
+def visualize_derivatives(
+    points: np.ndarray,
+    gmm,
+    gaussian_index: int,
+    *,
+    filename: str | None = None,
+    fmt: str = "png",
+):
+    """Per-point contribution magnitudes (|d_pi|, |d_mu|, |d_sigma|) to
+    one Gaussian's statistics (parity: `visualization.py:563-627`).
+    Computed from the soft assignment on the host."""
+    plt = _mpl()
+    from ..ops.mups import soft_assignment_np
+
+    points = np.asarray(points, dtype=np.float64)
+    w = np.asarray(gmm.weights)[gaussian_index]
+    mu = np.asarray(gmm.means)[gaussian_index]
+    sigma = np.asarray(gmm.sigma)[gaussian_index]
+    q = soft_assignment_np(points, gmm)[:, gaussian_index]
+
+    scaled = (points - mu) / sigma
+    d_pi = np.abs(q - w) / np.sqrt(w)
+    d_mu = np.linalg.norm(q[:, None] * scaled, axis=1) / np.sqrt(w)
+    d_sig = np.linalg.norm(
+        q[:, None] * (scaled ** 2 - 1.0), axis=1
+    ) / np.sqrt(2 * w)
+
+    fig = plt.figure(figsize=(14, 4))
+    for i, (vals, name) in enumerate(
+        [(d_pi, r"$|d_\pi|$"), (d_mu, r"$\|d_\mu\|$"), (d_sig, r"$\|d_\sigma\|$")]
+    ):
+        ax = fig.add_subplot(1, 3, i + 1, projection="3d")
+        sc = ax.scatter(points[:, 0], points[:, 1], points[:, 2], c=vals,
+                        s=4, cmap="jet")
+        ax.set_title(name)
+        fig.colorbar(sc, ax=ax, fraction=0.03)
+    if filename:
+        fig.savefig(f"{filename}.{fmt}", dpi=150, bbox_inches="tight")
+    return fig
+
+
 def draw_gaussian_points(
     points: np.ndarray,
     gmm,

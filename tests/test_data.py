@@ -197,3 +197,38 @@ def test_get_data_loader_factory(dataset_dir):
     batch = next(iter(loader))
     assert set(batch) >= {"points", "n_eff", "normals"}
     assert batch["points"].shape == (8, 2 * N_PER_PATCH, 3)
+
+
+def test_modelnet_h5_roundtrip(tmp_path):
+    """ModelNet-style h5 loaders (library parity with the reference's
+    legacy classification loaders)."""
+    import h5py
+
+    from nestinet_tpu.data import modelnet
+
+    rng = np.random.RandomState(0)
+    data = rng.randn(10, 64, 3).astype(np.float32)
+    label = rng.randint(0, 40, size=(10, 1))
+    normal = rng.randn(10, 64, 3).astype(np.float32)
+    path = str(tmp_path / "f0.h5")
+    with h5py.File(path, "w") as f:
+        f["data"] = data
+        f["label"] = label
+        f["normal"] = normal
+        f["pid"] = label.repeat(64, axis=1)
+    manifest = tmp_path / "files.txt"
+    manifest.write_text("f0.h5\n")
+
+    files = modelnet.get_data_files(str(manifest))
+    assert files == [path]
+    d, l = modelnet.load_h5(path)
+    np.testing.assert_array_equal(d, data)
+    d, l, nrm = modelnet.load_h5_with_normals(path)
+    np.testing.assert_array_equal(nrm, normal)
+    d, l, seg = modelnet.load_h5_with_seg(path)
+    assert seg.shape == (10, 64)
+
+    batches = list(modelnet.iter_batches(data, label[:, 0], 4, seed=1))
+    assert len(batches) == 2 and batches[0][0].shape == (4, 64, 3)
+    sd, sl, idx = modelnet.shuffle_data(data, label[:, 0], seed=1)
+    np.testing.assert_array_equal(sd, data[idx])

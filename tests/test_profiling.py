@@ -1,0 +1,41 @@
+"""Profiling subsystem: step timing aggregation + jax.profiler trace."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nestinet_tpu.core.profiling import StepTimer, trace
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    assert t.summary() == {"steps": 0}
+    for _ in range(5):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["steps"] == 5
+    assert s["p50_ms"] <= s["p90_ms"] <= s["p99_ms"]
+    assert s["total_s"] >= 0
+    t.reset()
+    assert t.n_steps == 0
+
+
+def test_trace_disabled_is_noop(tmp_path):
+    with trace(str(tmp_path / "prof"), enabled=False):
+        pass
+    assert not os.path.exists(tmp_path / "prof")
+
+
+def test_trace_captures_device_activity(tmp_path):
+    logdir = str(tmp_path / "prof")
+    with trace(logdir, enabled=True):
+        x = jnp.asarray(np.ones((128, 128), np.float32))
+        jax.block_until_ready(jnp.dot(x, x))
+    # a plugin/<host>.xplane.pb (or similar) artifact must exist
+    found = [
+        os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs
+    ]
+    assert found, "trace produced no artifacts"

@@ -134,3 +134,30 @@ def test_soft_assignment_rows_sum_to_one():
     assert q.shape == (32, 8)
     np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-9)
     assert (q >= 0).all()
+
+
+def test_seg_and_derivative_plots_smoke(tmp_path):
+    import matplotlib.pyplot as plt
+
+    from nestinet_tpu.viz.clouds import visualize_pc_seg, visualize_pc_seg_diff
+    from nestinet_tpu.viz.fv import visualize_derivatives, visualize_fv_with_pc
+
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-1, 1, size=(80, 3))
+    seg = rng.randint(0, 4, size=80)
+    ax = visualize_pc_seg(pts, seg, 4, filename=str(tmp_path / "seg"))
+    assert os.path.exists(tmp_path / "seg.png")
+    plt.close(ax.figure)
+    ax = visualize_pc_seg_diff(pts, seg, np.roll(seg, 1),
+                               filename=str(tmp_path / "segdiff"))
+    assert os.path.exists(tmp_path / "segdiff.png")
+    plt.close(ax.figure)
+
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=(1.0 / 3.0) ** 2)
+    fv = rng.randn(20, 27)
+    fig = visualize_fv_with_pc(fv, pts, filename=str(tmp_path / "fvpc"))
+    assert os.path.exists(tmp_path / "fvpc.png")
+    plt.close(fig)
+    fig = visualize_derivatives(pts, gmm, 13, filename=str(tmp_path / "deriv"))
+    assert os.path.exists(tmp_path / "deriv.png")
+    plt.close(fig)
