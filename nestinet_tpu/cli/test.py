@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--testset", type=str, default="testset.txt")
     p.add_argument("--loader_workers", type=int, default=8)
+    p.add_argument("--moe_inference", type=str, default="sparse",
+                   choices=["sparse", "dense"],
+                   help="sparse: route each patch through its argmax "
+                        "expert only (~3x fewer FLOPs, identical outputs); "
+                        "dense: run all experts like the reference")
     args = p.parse_args(argv)
 
     stats = predict_shapes(
@@ -43,6 +48,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         sparse_patches=bool(args.sparse_patches),
         loader_workers=args.loader_workers,
+        moe_inference=args.moe_inference,
     )
     print(json.dumps({k: v for k, v in stats.items() if k != "shapes"}, indent=2))
 

@@ -91,6 +91,12 @@ def evaluate_dataset(
     plus the MATLAB render pipeline (`MATLAB/export_visualizations.m`).
     """
     list_path = os.path.join(data_path, dataset + ".txt")
+    if not os.path.exists(list_path):
+        raise FileNotFoundError(
+            f"dataset list '{dataset}' not found: no {list_path}. "
+            f"--dataset_list entries name <data_path>/<name>.txt files; "
+            f"canonical PCPNet sets: {', '.join(PCPNET_TEST_SETS)}"
+        )
     with open(list_path) as f:
         shape_names = [x.strip() for x in f.readlines() if x.strip()]
 

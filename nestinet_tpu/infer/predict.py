@@ -45,6 +45,13 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict):
     params, state, _, _, _ = ckpt_lib.restore(
         rd.ckpt_dir, params=params, state=state, opt_state=opt_state
     )
+    # Restore yields host arrays; move them to device NOW, explicitly.
+    # Leaving the transfer to the first jit dispatch ships hundreds of
+    # MB inside the dispatch path — observed to wedge the remote-TPU
+    # (axon) client when combined with a pending compile request.
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+    jax.block_until_ready((params, state))
     return params, state
 
 
@@ -58,8 +65,15 @@ def predict_shapes(
     sparse_patches: bool = False,
     loader_workers: int = 8,
     output_dir: str | None = None,
+    moe_inference: str = "sparse",
 ) -> dict:
-    """Run inference for every shape in `testset`; returns stats."""
+    """Run inference for every shape in `testset`; returns stats.
+
+    moe_inference: "sparse" routes each patch through MuPS + manager +
+    ONLY its argmax expert (host-side bucketing; ~3x fewer FLOPs, same
+    outputs); "dense" runs all experts like the reference
+    (`test_n_est_w_experts.py:148-152`).
+    """
     rd, cfg, gmm, model = load_run(run_dir)
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
@@ -84,6 +98,11 @@ def predict_shapes(
 
     sample = next(iter(loader))
     params, state = restore_model(rd, cfg, model, _pad_batch(sample, batch_size))
+
+    if is_moe and moe_inference == "sparse":
+        return _predict_sparse_moe(
+            model, params, state, loader, dataset, cfg, out_dir, batch_size
+        )
 
     @jax.jit
     def fwd(params, state, batch):
@@ -135,6 +154,121 @@ def predict_shapes(
         n_patches += real
     if pending is not None:
         _drain(pending)
+    elapsed = time.perf_counter() - t0
+
+    assert writer.done, "writer did not consume all shapes"
+    return {
+        "n_patches": n_patches,
+        "seconds": elapsed,
+        "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
+        "shapes": writer.written,
+        "output_dir": out_dir,
+    }
+
+
+def _predict_sparse_moe(
+    model, params, state, loader, dataset, cfg, out_dir, batch_size
+) -> dict:
+    """Argmax-only MoE inference with host-side expert bucketing.
+
+    Two device programs instead of one monolith: (A) MuPS + manager over
+    the streaming batches; (B) MuPS + a single expert (per architecture
+    group, member index traced).  Patches are bucketed by winning expert
+    and flushed through (B) in full batches; results re-enter shape
+    order through a contiguous-prefix reorder buffer before hitting the
+    shape-scatter writer.  Outputs match the dense path.
+    """
+    import functools
+
+    manager_fn = jax.jit(model.apply_manager)
+    expert_fns = {
+        gi: jax.jit(
+            functools.partial(model.apply_expert_member, group_index=gi)
+        )
+        for gi in range(len(model.groups))
+    }
+    table = model.expert_to_group()
+
+    writer = ShapeScatterWriter(
+        out_dir, dataset.shape_names, dataset.shape_patch_count,
+        n_experts=cfg.n_experts,
+    )
+
+    store: dict[int, tuple] = {}  # patch idx -> (normal, expert, probs)
+    pending_normal: dict[int, int] = {}  # patch idx -> placeholder marker
+    buckets = {e: [] for e in range(model.n_experts)}  # [(idx, pts, n_eff)]
+    emit_ptr = 0
+    n_patches = 0
+
+    def run_bucket(e: int, entries):
+        gi, member = table[e]
+        idxs = [it[0] for it in entries]
+        pts = np.stack([it[1] for it in entries])
+        ne = np.stack([it[2] for it in entries])
+        if len(entries) < batch_size:
+            pad = batch_size - len(entries)
+            pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
+            ne = np.concatenate([ne, np.zeros((pad,) + ne.shape[1:], ne.dtype)])
+        normals = np.asarray(
+            expert_fns[gi](
+                params, state,
+                {"points": jnp.asarray(pts), "n_eff": jnp.asarray(ne)},
+                member=jnp.asarray(member, jnp.int32),
+            )
+        )
+        for k, idx in enumerate(idxs):
+            e_id, probs_row = store[idx]
+            store[idx] = (normals[k], e_id, probs_row)
+            del pending_normal[idx]
+
+    def emit():
+        nonlocal emit_ptr
+        chunk_n, chunk_e, chunk_p = [], [], []
+        while emit_ptr in store and emit_ptr not in pending_normal:
+            nrm, e_id, probs_row = store.pop(emit_ptr)
+            chunk_n.append(nrm)
+            chunk_e.append(e_id)
+            chunk_p.append(probs_row)
+            emit_ptr += 1
+        if chunk_n:
+            writer.append(
+                np.stack(chunk_n),
+                np.asarray(chunk_e, np.int64),
+                np.stack(chunk_p),
+            )
+
+    t0 = time.perf_counter()
+    for batch in loader:
+        real = batch["points"].shape[0]
+        padded = _pad_batch(batch, batch_size)
+        probs = np.asarray(
+            manager_fn(
+                params, state,
+                {
+                    "points": jnp.asarray(padded["points"]),
+                    "n_eff": jnp.asarray(padded["n_eff"]),
+                },
+            )
+        )  # [E, batch]
+        experts = np.argmax(probs[:, :real], axis=0)  # [real]
+        for r in range(real):
+            idx = n_patches + r
+            store[idx] = (int(experts[r]), probs[:, r])
+            pending_normal[idx] = 1
+            buckets[int(experts[r])].append(
+                (idx, batch["points"][r], batch["n_eff"][r])
+            )
+        n_patches += real
+        for e, entries in buckets.items():
+            while len(entries) >= batch_size:
+                run_bucket(e, entries[:batch_size])
+                del entries[:batch_size]
+        emit()
+    for e, entries in buckets.items():  # flush partial buckets
+        if entries:
+            run_bucket(e, entries)
+            entries.clear()
+    emit()
     elapsed = time.perf_counter() - t0
 
     assert writer.done, "writer did not consume all shapes"

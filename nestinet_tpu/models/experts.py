@@ -164,6 +164,50 @@ class ExpertsNormEst(ModelBase):
 
         return {"n_pred": n_pred, "experts_prob": experts_prob}, new_state
 
+    # ---- sparse (argmax-only) inference ----
+    #
+    # The reference computes ALL experts and then keeps only the argmax
+    # expert's normal (`test_n_est_w_experts.py:148-152`) — ~2/3 of the
+    # model's 40 GFLOP/patch is discarded expert work.  These two entry
+    # points split inference into (a) MuPS + manager and (b) MuPS + ONE
+    # expert selected by a traced member index, so the host can bucket
+    # patches by winning expert and run each patch through exactly one
+    # expert.  Outputs are bit-identical to the dense path.
+
+    def apply_manager(self, params, state, batch):
+        """MuPS + manager only (eval mode) -> experts_prob [E, B]."""
+        grid = self._mups_grid(batch["points"], batch["n_eff"]).astype(
+            self.compute_dtype
+        )
+        probs, _ = self._manager.apply(
+            params["manager"], state["manager"], None, grid, False, 0.0
+        )
+        return probs
+
+    def apply_expert_member(self, params, state, batch, group_index: int, member):
+        """MuPS + one expert of group `group_index` (static), selected by
+        the traced index `member` into the group's stacked parameters
+        (eval mode) -> normals [B, 3]."""
+        group = self.groups[group_index]
+        grid = self._mups_grid(batch["points"], batch["n_eff"]).astype(
+            self.compute_dtype
+        )
+        start = jnp.asarray(group.starts, jnp.int32)[member]
+        x = jax.lax.dynamic_slice_in_dim(grid, start, group.channels, axis=-1)
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, member, 0, keepdims=False)
+        p = jax.tree.map(pick, params[f"group{group_index}"])
+        s = jax.tree.map(pick, state[f"group{group_index}"])
+        out, _ = self._expert_fwd[group.n_scales].apply(p, s, None, x, False, 0.0)
+        return out
+
+    def expert_to_group(self):
+        """expert id -> (group_index, member index) lookup."""
+        table = {}
+        for gi, group in enumerate(self.groups):
+            for j, i in enumerate(group.indices):
+                table[i] = (gi, j)
+        return table
+
     def loss(self, outputs, batch):
         loss, cos_ang = moe_loss(
             outputs["n_pred"],

@@ -50,8 +50,10 @@ class BatchNormEMA(hk.Module):
 
     def __call__(self, x: jnp.ndarray, is_training: bool, momentum) -> jnp.ndarray:
         c = x.shape[-1]
-        beta = hk.get_parameter("beta", [c], x.dtype, init=jnp.zeros)
-        gamma = hk.get_parameter("gamma", [c], x.dtype, init=jnp.ones)
+        # Parameters live in float32 regardless of compute dtype (mixed
+        # precision: master weights f32, activations cast per-op).
+        beta = hk.get_parameter("beta", [c], jnp.float32, init=jnp.zeros).astype(x.dtype)
+        gamma = hk.get_parameter("gamma", [c], jnp.float32, init=jnp.ones).astype(x.dtype)
 
         axes = tuple(range(x.ndim - 1))
         ema_mean = hk.get_state("ema_mean", [c], jnp.float32, init=jnp.zeros)
@@ -77,6 +79,50 @@ class BatchNormEMA(hk.Module):
         return (x - mean.astype(x.dtype)) * inv + beta
 
 
+class _Conv3DParamF32(hk.Module):
+    """3D conv with float32 master parameters, computed in the input's
+    dtype (mixed precision without global haiku policies).  Parameter
+    names/shapes match hk.Conv3D ('w' [k,k,k,cin,cout], 'b' [cout]), so
+    checkpoints are interchangeable with the plain-f32 layer."""
+
+    def __init__(self, output_channels, kernel_shape, stride, name=None):
+        super().__init__(name=name)
+        self.out = int(output_channels)
+        self.kernel = tuple(kernel_shape)
+        self.stride = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = hk.get_parameter(
+            "w", self.kernel + (cin, self.out), jnp.float32, init=xavier_uniform
+        )
+        b = hk.get_parameter("b", [self.out], jnp.float32, init=jnp.zeros)
+        out = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=self.stride,
+            padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return out + b.astype(x.dtype)
+
+
+class _LinearParamF32(hk.Module):
+    """Linear with float32 master parameters ('w' [in,out], 'b' [out]),
+    computed in the input's dtype; checkpoint-compatible with hk.Linear."""
+
+    def __init__(self, units, name=None):
+        super().__init__(name=name)
+        self.units = int(units)
+
+    def __call__(self, x):
+        w = hk.get_parameter(
+            "w", [x.shape[-1], self.units], jnp.float32, init=xavier_uniform
+        )
+        b = hk.get_parameter("b", [self.units], jnp.float32, init=jnp.zeros)
+        return x @ w.astype(x.dtype) + b.astype(x.dtype)
+
+
 class ConvBN3D(hk.Module):
     """3D conv + bias (+ EMA BatchNorm) (+ ReLU), NDHWC, SAME padding."""
 
@@ -98,13 +144,10 @@ class ConvBN3D(hk.Module):
         self.activation = activation
 
     def __call__(self, x, is_training, bn_momentum):
-        x = hk.Conv3D(
+        x = _Conv3DParamF32(
             output_channels=self.channels,
             kernel_shape=tuple(self.kernel),
             stride=self.stride,
-            padding="SAME",
-            with_bias=True,
-            w_init=xavier_uniform,
             name="conv",
         )(x)
         if self.bn:
@@ -131,7 +174,7 @@ class DenseBN(hk.Module):
         self.activation = activation
 
     def __call__(self, x, is_training, bn_momentum):
-        x = hk.Linear(self.units, w_init=xavier_uniform, name="linear")(x)
+        x = _LinearParamF32(self.units, name="linear")(x)
         if self.bn:
             x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
         if self.activation is not None:
