@@ -200,6 +200,8 @@ def _predict_sparse_moe(
     emit_ptr = 0
     n_patches = 0
 
+    expert_pending: list[tuple[list[int], object]] = []
+
     def run_bucket(e: int, entries):
         gi, member = table[e]
         idxs = [it[0] for it in entries]
@@ -209,17 +211,26 @@ def _predict_sparse_moe(
             pad = batch_size - len(entries)
             pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
             ne = np.concatenate([ne, np.zeros((pad,) + ne.shape[1:], ne.dtype)])
-        normals = np.asarray(
-            expert_fns[gi](
-                params, state,
-                {"points": jnp.asarray(pts), "n_eff": jnp.asarray(ne)},
-                member=jnp.asarray(member, jnp.int32),
-            )
+        normals_dev = expert_fns[gi](
+            params, state,
+            {"points": jnp.asarray(pts), "n_eff": jnp.asarray(ne)},
+            member=jnp.asarray(member, jnp.int32),
         )
-        for k, idx in enumerate(idxs):
-            e_id, probs_row = store[idx]
-            store[idx] = (normals[k], e_id, probs_row)
-            del pending_normal[idx]
+        try:
+            normals_dev.copy_to_host_async()
+        except Exception:
+            pass
+        expert_pending.append((idxs, normals_dev))
+        drain_expert_pending(2)  # keep at most 2 bucket runs in flight
+
+    def drain_expert_pending(max_left: int):
+        while len(expert_pending) > max_left:
+            idxs, dev = expert_pending.pop(0)
+            normals = np.asarray(dev)
+            for k, idx in enumerate(idxs):
+                e_id, probs_row = store[idx]
+                store[idx] = (normals[k], e_id, probs_row)
+                del pending_normal[idx]
 
     def emit():
         nonlocal emit_ptr
@@ -237,26 +248,23 @@ def _predict_sparse_moe(
                 np.stack(chunk_p),
             )
 
-    t0 = time.perf_counter()
-    for batch in loader:
-        real = batch["points"].shape[0]
-        padded = _pad_batch(batch, batch_size)
-        probs = np.asarray(
-            manager_fn(
-                params, state,
-                {
-                    "points": jnp.asarray(padded["points"]),
-                    "n_eff": jnp.asarray(padded["n_eff"]),
-                },
-            )
-        )  # [E, batch]
-        experts = np.argmax(probs[:, :real], axis=0)  # [real]
+    # The remote-TPU relay downloads at ~1.5 MB/s with a ~24 ms
+    # round-trip floor while uploads run at ~1 GB/s, so every
+    # synchronous fetch is a stall.  Both passes run one batch deep:
+    # the manager result for batch i is materialized only after batch
+    # i+1 is dispatched, and expert-bucket outputs start their
+    # device->host copy asynchronously and are materialized later.
+    def process_manager(pending):
+        nonlocal n_patches
+        hbatch, real, probs_dev = pending
+        probs = np.asarray(probs_dev)  # [E, batch]
+        experts = np.argmax(probs[:, :real], axis=0)
         for r in range(real):
             idx = n_patches + r
             store[idx] = (int(experts[r]), probs[:, r])
             pending_normal[idx] = 1
             buckets[int(experts[r])].append(
-                (idx, batch["points"][r], batch["n_eff"][r])
+                (idx, hbatch["points"][r], hbatch["n_eff"][r])
             )
         n_patches += real
         for e, entries in buckets.items():
@@ -264,10 +272,33 @@ def _predict_sparse_moe(
                 run_bucket(e, entries[:batch_size])
                 del entries[:batch_size]
         emit()
+
+    t0 = time.perf_counter()
+    manager_pending = None
+    for batch in loader:
+        real = batch["points"].shape[0]
+        padded = _pad_batch(batch, batch_size)
+        probs_dev = manager_fn(
+            params, state,
+            {
+                "points": jnp.asarray(padded["points"]),
+                "n_eff": jnp.asarray(padded["n_eff"]),
+            },
+        )
+        try:
+            probs_dev.copy_to_host_async()
+        except Exception:
+            pass
+        if manager_pending is not None:
+            process_manager(manager_pending)
+        manager_pending = (batch, real, probs_dev)
+    if manager_pending is not None:
+        process_manager(manager_pending)
     for e, entries in buckets.items():  # flush partial buckets
         if entries:
             run_bucket(e, entries)
             entries.clear()
+    drain_expert_pending(0)
     emit()
     elapsed = time.perf_counter() - t0
 

@@ -142,6 +142,11 @@ class Trainer:
             os.path.join(self.rundir.path, "profile"),
             enabled=epoch == cfg.profile_epoch,
         ):
+            # One-deep loss pipeline: materializing step i's loss only
+            # after step i+1 is dispatched hides the device->host fetch
+            # latency (a ~24 ms round trip on tunneled TPUs) behind the
+            # next step's compute.
+            pending_loss = None
             for batch in loader:
                 if cfg.insert_rotation_augmentation:
                     batch = dict(batch)
@@ -159,10 +164,13 @@ class Trainer:
                         batch,
                         jnp.asarray(self.step, jnp.int32),
                     )
-                    loss = float(loss)  # device sync: step time is real
+                    if pending_loss is not None:
+                        loss_sum += float(pending_loss)  # sync on step i-1
+                    pending_loss = loss
                 self.step += 1
-                loss_sum += loss
                 n_batches += 1
+            if pending_loss is not None:
+                loss_sum += float(pending_loss)
         mean_loss = loss_sum / max(n_batches, 1)
         self.rundir.log(f"epoch {epoch:4d} train mean loss: {mean_loss:.6f}")
         self.rundir.metrics(
@@ -181,12 +189,18 @@ class Trainer:
         """
         loss_sum, n_batches = 0.0, 0
         cos_all = []
+        pending = None  # one-deep: hide the per-batch fetch round trip
         for batch in loader:
             batch = shard_batch(batch, self.mesh)
             loss, cos_ang = self._eval_step(self.params, self.state, batch)
-            loss_sum += float(loss)
+            if pending is not None:
+                loss_sum += float(pending[0])
+                cos_all.append(np.asarray(pending[1]))
+            pending = (loss, cos_ang)
             n_batches += 1
-            cos_all.append(np.asarray(cos_ang))
+        if pending is not None:
+            loss_sum += float(pending[0])
+            cos_all.append(np.asarray(pending[1]))
         mean_loss = loss_sum / max(n_batches, 1)
         cos_all = np.concatenate(cos_all) if cos_all else np.zeros((0,))
         ang = np.rad2deg(np.arccos(np.clip(np.abs(cos_all), -1.0, 1.0)))
