@@ -48,11 +48,12 @@ from nestinet_tpu.models import build_model  # noqa: E402
 from nestinet_tpu.ops.gmm import get_3d_grid_gmm  # noqa: E402
 from nestinet_tpu.train.train_step import make_optimizer  # noqa: E402
 
-# Batch 128: each dispatch through the remote-TPU (axon) relay has a
-# ~30 ms latency floor, so throughput is won by amortizing dispatches —
-# at 128 the manager runs 45 ms/batch (vs 30 ms for 16, an 8x win per
-# patch) and every expert-bucket flush covers 128 patches.
-BATCH = 128
+# Each dispatch through the remote-TPU (axon) relay has a ~24 ms
+# latency floor and results trickle back at ~1.5 MB/s, so throughput is
+# won by amortizing dispatches: at 256 the manager covers 2x the
+# patches of 128 for ~1.6x the step time and every expert-bucket flush
+# covers 256 patches.
+BATCH = 256
 NUM_POINT = 512
 RADII = (0.01, 0.03, 0.05)
 N_SHAPE_POINTS = 20_000
@@ -90,12 +91,29 @@ def reference_proxy_rate(root) -> float:
     return REF_PROBE_PATCHES / dt
 
 
+BENCH_CACHE = "/root/repo/.bench_cache"
+
+
 def build_run(root) -> str:
-    """Create a run dir with randomly-initialized flagship weights."""
+    """Create (or reuse) a run dir with randomly-initialized flagship
+    weights.  Serializing the 178M-param checkpoint costs minutes, so
+    the run dir is cached under BENCH_CACHE keyed by the bench config;
+    delete the directory to force a rebuild."""
+    key = f"b{BATCH}_n{NUM_POINT}_r{'-'.join(str(r) for r in RADII)}"
+    cached = os.path.join(BENCH_CACHE, key)
+    if os.path.exists(os.path.join(cached, "ckpt", "model.msgpack")):
+        return cached
+    if os.path.exists(cached):  # partial build: clear, or RunDir would
+        import shutil           # auto-number a subdirectory instead
+
+        shutil.rmtree(cached)
+    return _build_run_at(cached)
+
+
+def _build_run_at(log_dir) -> str:
     cfg = Config(
         model="experts_n_est",
-        log_dir=os.path.join(root, "run"),
-        data_path=root,
+        log_dir=log_dir,
         patch_radius=RADII,
         num_point=NUM_POINT,
         num_gaussians=8,

@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--testset", type=str, default="testset.txt")
     p.add_argument("--loader_workers", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help=">1 shards each batch over a data mesh of that "
+                        "many devices (params replicated)")
     p.add_argument("--moe_inference", type=str, default="sparse",
                    choices=["sparse", "dense"],
                    help="sparse: route each patch through its argmax "
@@ -49,6 +52,7 @@ def main(argv=None):
         sparse_patches=bool(args.sparse_patches),
         loader_workers=args.loader_workers,
         moe_inference=args.moe_inference,
+        data_parallel=args.data_parallel,
     )
     print(json.dumps({k: v for k, v in stats.items() if k != "shapes"}, indent=2))
 

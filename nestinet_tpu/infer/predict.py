@@ -34,8 +34,12 @@ def load_run(run_dir: str):
     return rd, cfg, gmm, model
 
 
-def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict):
-    """Init templates and restore the checkpoint."""
+def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None):
+    """Init templates and restore the checkpoint.
+
+    With a mesh, parameters/state are placed replicated over it (the
+    batch axis carries the data parallelism at inference)."""
+    from ..train.mesh import replicated
     from ..train.train_step import make_optimizer
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -49,8 +53,13 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict):
     # Leaving the transfer to the first jit dispatch ships hundreds of
     # MB inside the dispatch path — observed to wedge the remote-TPU
     # (axon) client when combined with a pending compile request.
-    params = jax.device_put(params)
-    state = jax.device_put(state)
+    if mesh is not None:
+        sh = replicated(mesh)
+        params = jax.device_put(params, jax.tree.map(lambda _: sh, params))
+        state = jax.device_put(state, jax.tree.map(lambda _: sh, state))
+    else:
+        params = jax.device_put(params)
+        state = jax.device_put(state)
     jax.block_until_ready((params, state))
     return params, state
 
@@ -66,6 +75,7 @@ def predict_shapes(
     loader_workers: int = 8,
     output_dir: str | None = None,
     moe_inference: str = "sparse",
+    data_parallel: int = 0,
 ) -> dict:
     """Run inference for every shape in `testset`; returns stats.
 
@@ -73,6 +83,10 @@ def predict_shapes(
     ONLY its argmax expert (host-side bucketing; ~3x fewer FLOPs, same
     outputs); "dense" runs all experts like the reference
     (`test_n_est_w_experts.py:148-152`).
+
+    data_parallel > 1 builds a data mesh and shards every batch's
+    leading axis across it (params replicated); batch_size must divide
+    by it.
     """
     rd, cfg, gmm, model = load_run(run_dir)
     indir = data_path if data_path is not None else cfg.data_path
@@ -96,12 +110,24 @@ def predict_shapes(
 
     is_moe = isinstance(model, ExpertsNormEst)
 
+    mesh = None
+    if data_parallel > 1:
+        from ..train.mesh import make_mesh
+
+        assert batch_size % data_parallel == 0, (
+            "batch_size must divide by data_parallel"
+        )
+        mesh = make_mesh(data_parallel, 1)
+
     sample = next(iter(loader))
-    params, state = restore_model(rd, cfg, model, _pad_batch(sample, batch_size))
+    params, state = restore_model(
+        rd, cfg, model, _pad_batch(sample, batch_size), mesh=mesh
+    )
 
     if is_moe and moe_inference == "sparse":
         return _predict_sparse_moe(
-            model, params, state, loader, dataset, cfg, out_dir, batch_size
+            model, params, state, loader, dataset, cfg, out_dir, batch_size,
+            mesh=mesh,
         )
 
     @jax.jit
@@ -140,12 +166,13 @@ def predict_shapes(
     n_patches = 0
     pending = None
     t0 = time.perf_counter()
+    put = _make_put(mesh)
     for batch in loader:
         real = batch["points"].shape[0]
         batch = _pad_batch(batch, batch_size)
         device_batch = {
-            "points": jnp.asarray(batch["points"]),
-            "n_eff": jnp.asarray(batch["n_eff"]),
+            "points": put(batch["points"]),
+            "n_eff": put(batch["n_eff"]),
         }
         outs = fwd(params, state, device_batch)
         if pending is not None:
@@ -166,8 +193,19 @@ def predict_shapes(
     }
 
 
+def _make_put(mesh):
+    """Batch-upload function: plain device_put, or sharded over the
+    mesh's data axis."""
+    if mesh is None:
+        return jnp.asarray
+    from ..train.mesh import batch_sharding
+
+    sh = batch_sharding(mesh)
+    return lambda v: jax.device_put(np.asarray(v), sh)
+
+
 def _predict_sparse_moe(
-    model, params, state, loader, dataset, cfg, out_dir, batch_size
+    model, params, state, loader, dataset, cfg, out_dir, batch_size, mesh=None
 ) -> dict:
     """Argmax-only MoE inference with host-side expert bucketing.
 
@@ -180,6 +218,7 @@ def _predict_sparse_moe(
     """
     import functools
 
+    put = _make_put(mesh)
     manager_fn = jax.jit(model.apply_manager)
     expert_fns = {
         gi: jax.jit(
@@ -213,7 +252,7 @@ def _predict_sparse_moe(
             ne = np.concatenate([ne, np.zeros((pad,) + ne.shape[1:], ne.dtype)])
         normals_dev = expert_fns[gi](
             params, state,
-            {"points": jnp.asarray(pts), "n_eff": jnp.asarray(ne)},
+            {"points": put(pts), "n_eff": put(ne)},
             member=jnp.asarray(member, jnp.int32),
         )
         try:
@@ -281,8 +320,8 @@ def _predict_sparse_moe(
         probs_dev = manager_fn(
             params, state,
             {
-                "points": jnp.asarray(padded["points"]),
-                "n_eff": jnp.asarray(padded["n_eff"]),
+                "points": put(padded["points"]),
+                "n_eff": put(padded["n_eff"]),
             },
         )
         try:

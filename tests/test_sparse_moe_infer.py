@@ -95,3 +95,23 @@ def test_sparse_handles_partial_buckets(moe_run):
     assert stats["n_patches"] == 600
     n = np.loadtxt(os.path.join(stats["output_dir"], "a.normals"))
     assert n.shape == (300, 3) and np.isfinite(n).all()
+
+
+def test_multidevice_inference_matches_single(moe_run):
+    """Batch-axis data-parallel inference over the 8-device CPU mesh
+    produces the same results files as single-device."""
+    root, run_path = moe_run
+    common = dict(testset="mini.txt", data_path=root, batch_size=8,
+                  loader_workers=2, moe_inference="sparse")
+    single = predict_shapes(run_path, dataset_name="dp1", **common)
+    multi = predict_shapes(run_path, dataset_name="dp8",
+                           data_parallel=8, **common)
+    for shape in ("a", "b"):
+        d = np.loadtxt(os.path.join(single["output_dir"], shape + ".normals"))
+        m = np.loadtxt(os.path.join(multi["output_dir"], shape + ".normals"))
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        np.testing.assert_allclose(m, d, atol=2e-4)
+        de = np.loadtxt(os.path.join(single["output_dir"], shape + ".experts"))
+        me = np.loadtxt(os.path.join(multi["output_dir"], shape + ".experts"))
+        np.testing.assert_array_equal(me, de)
