@@ -119,11 +119,17 @@ def evaluate_dataset(
             experts = np.loadtxt(experts_path).astype(int)
 
         sparse_normals = normals_pred.shape[0] != normals_gt.shape[0]
-        normals_gt = normals_gt[points_idx]
-        if sparse_patches and not sparse_normals:
+        if sparse_normals:
+            # predictions cover only the pidx subset
+            normals_gt = normals_gt[points_idx]
+        elif sparse_patches:
+            normals_gt = normals_gt[points_idx]
             normals_pred = normals_pred[points_idx]
             if experts is not None:
                 experts = experts[points_idx]
+        # else: dense predictions + sparse_patches=False -> evaluate every
+        # point.  (The reference crashed here — it subset GT but not the
+        # dense predictions, `utils/evaluate.py:127-132`; fix-not-copy.)
 
         ang, ang_o = angle_errors_deg(normals_gt, normals_pred)
         rms.append(rms_angle_deg(ang))

@@ -173,3 +173,29 @@ def test_augmentations(rng):
     gmm = get_3d_grid_gmm([3, 3, 3], 0.111)
     st = augment.starve_gaussians(batch, gmm, rng, n_points=32)
     assert st.shape == (4, 32, 3)
+
+
+def test_evaluate_dense_predictions_full_shape(tmp_path):
+    """sparse_patches=False with dense predictions evaluates every point
+    (the reference crashed on this combination, evaluate.py:127-132)."""
+    import os
+
+    from nestinet_tpu.eval.evaluate import evaluate_dataset
+
+    rng = np.random.RandomState(0)
+    n = 100
+    nrm = rng.randn(n, 3)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    data, results = tmp_path / "d", tmp_path / "r"
+    data.mkdir(); results.mkdir()
+    np.savetxt(data / "s.xyz", rng.randn(n, 3))
+    np.savetxt(data / "s.normals", nrm)
+    np.savetxt(data / "s.pidx", rng.choice(n, 10, replace=False), fmt="%d")
+    (data / "mini.txt").write_text("s\n")
+    np.savetxt(results / "s.normals", -nrm)  # dense, sign-flipped
+
+    full = evaluate_dataset(str(data), str(results), "mini",
+                            sparse_patches=False, log=lambda s: None)
+    sub = evaluate_dataset(str(data), str(results), "mini",
+                           sparse_patches=True, log=lambda s: None)
+    assert full["rms"] < 1e-3 and sub["rms"] < 1e-3
