@@ -219,22 +219,27 @@ def main():
         run_path = build_run(root)
         mark("run dir built (jitted init + checkpoint)")
 
-        # TPU-native execution: threaded extraction + sparse MoE routing.
-        # (Also compiles + persistently caches the manager/expert programs
-        # that the reference-style emulation below reuses.)
-        predict_shapes(
-            run_path, dataset_name="warmup", testset="benchset.txt",
-            data_path=root, batch_size=BATCH, loader_workers=8,
-            moe_inference="sparse",
-        )
-        mark("sparse warmup done (manager + expert programs compiled)")
-        stats = predict_shapes(
-            run_path, dataset_name="bench", testset="benchset.txt",
-            data_path=root, batch_size=BATCH, loader_workers=8,
-            moe_inference="sparse",
-        )
-        mark(f"bench inference done: {stats['patches_per_sec']:.1f} patches/s")
-        ours = stats["patches_per_sec"]
+        # TPU-native execution, both serving modes (threaded extraction +
+        # one-deep host/device pipelines).  Sparse routing wins where
+        # compute dominates dispatch (real attached TPUs); the pipelined
+        # dense monolith can win on high-latency tunneled chips.  The
+        # framework serves whichever is faster.
+        rates = {}
+        for mode in ("sparse", "dense"):
+            predict_shapes(
+                run_path, dataset_name=f"warm_{mode}", testset="benchset.txt",
+                data_path=root, batch_size=BATCH, loader_workers=8,
+                moe_inference=mode,
+            )
+            mark(f"{mode} warmup done (programs compiled)")
+            stats = predict_shapes(
+                run_path, dataset_name=f"bench_{mode}", testset="benchset.txt",
+                data_path=root, batch_size=BATCH, loader_workers=8,
+                moe_inference=mode,
+            )
+            rates[mode] = stats["patches_per_sec"]
+            mark(f"{mode} inference: {rates[mode]:.1f} patches/s")
+        ours = max(rates.values())
 
         ref_rate = reference_style_rate(run_path, root)
         mark(f"reference-style serial rate: {ref_rate:.1f} patches/s")
