@@ -182,6 +182,92 @@ class DenseBN(hk.Module):
         return x
 
 
+class ConvBNND(hk.Module):
+    """N-dimensional conv + bias (+ EMA BatchNorm) (+ activation) for
+    1D/2D feature maps — capability parity with the reference's unused
+    `conv1d` / `conv2d` wrappers (`tf_util.py:57-196`).  Channels-last,
+    SAME padding, float32 master parameters."""
+
+    _DIMS = {1: ("NWC", "WIO", "NWC"), 2: ("NHWC", "HWIO", "NHWC")}
+
+    def __init__(self, ndim: int, channels: int, kernel, *, stride: int = 1,
+                 bn: bool = True, activation=jax.nn.relu, name=None):
+        super().__init__(name=name)
+        self.ndim = int(ndim)
+        self.channels = int(channels)
+        self.kernel = (
+            tuple(kernel) if isinstance(kernel, (tuple, list)) else (kernel,) * ndim
+        )
+        self.stride = (stride,) * ndim if isinstance(stride, int) else tuple(stride)
+        self.bn = bn
+        self.activation = activation
+
+    def __call__(self, x, is_training, bn_momentum):
+        cin = x.shape[-1]
+        w = hk.get_parameter(
+            "w", self.kernel + (cin, self.channels), jnp.float32,
+            init=xavier_uniform,
+        )
+        b = hk.get_parameter("b", [self.channels], jnp.float32, init=jnp.zeros)
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=self.stride, padding="SAME",
+            dimension_numbers=self._DIMS[self.ndim],
+        ) + b.astype(x.dtype)
+        if self.bn:
+            x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class ConvTranspose2D(hk.Module):
+    """2D transposed conv (parity: `tf_util.py:199-251`), channels-last,
+    SAME padding, float32 master parameters."""
+
+    def __init__(self, channels: int, kernel, *, stride: int = 1, name=None):
+        super().__init__(name=name)
+        self.channels = int(channels)
+        self.kernel = (
+            tuple(kernel) if isinstance(kernel, (tuple, list)) else (kernel,) * 2
+        )
+        self.stride = (stride,) * 2 if isinstance(stride, int) else tuple(stride)
+
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = hk.get_parameter(
+            "w", self.kernel + (self.channels, cin), jnp.float32,
+            init=xavier_uniform,
+        )
+        b = hk.get_parameter("b", [self.channels], jnp.float32, init=jnp.zeros)
+        out = jax.lax.conv_transpose(
+            x, w.astype(x.dtype), strides=self.stride, padding="SAME",
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        )
+        return out + b.astype(x.dtype)
+
+
+def max_pool2d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """2D max pool, SAME padding, NHWC (parity: `tf_util.py:354-380`)."""
+    dims = (1, kernel, kernel, 1)
+    strides = (1, stride, stride, 1)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, padding="SAME"
+    )
+
+
+def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """2D average pool, SAME padding, valid-count semantics
+    (parity: `tf_util.py:381-405`)."""
+    dims = (1, kernel, kernel, 1)
+    strides = (1, stride, stride, 1)
+    sums = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding="SAME")
+    counts = jax.lax.reduce_window(
+        jnp.ones(x.shape[1:-1], x.dtype)[None, ..., None],
+        0.0, jax.lax.add, dims, strides, padding="SAME",
+    )
+    return sums / counts
+
+
 def max_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     """3D max pool, SAME padding, NDHWC."""
     dims = (1, kernel, kernel, kernel, 1)
