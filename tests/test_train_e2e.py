@@ -208,3 +208,33 @@ def test_dp_matches_single_device(tiny_dataset, rng):
     flat1 = np.concatenate([x.ravel() for x in jax.tree.leaves(p1)])
     flat8 = np.concatenate([x.ravel() for x in jax.tree.leaves(p8)])
     np.testing.assert_allclose(flat1, flat8, atol=5e-4)
+
+
+def test_distributed_helpers_single_process():
+    """Single-process degenerate behavior of the multi-host helpers
+    (the real handshake needs multiple processes; these guard the
+    slicing/sharding math)."""
+    from nestinet_tpu.train import distributed
+
+    distributed.initialize()  # no-op at NUM_PROCESSES=1
+    idx, count = distributed.process_info()
+    assert idx == 0 and count == 1
+    assert distributed.host_shard(["a", "b", "c"]) == ["a", "b", "c"]
+    assert distributed.host_batch_slice(64) == slice(0, 64)
+
+    # simulate a 4-host layout for the divisibility / slicing math
+    import unittest.mock as mock
+
+    with mock.patch.object(distributed, "process_info", return_value=(2, 4)):
+        assert distributed.host_batch_slice(64) == slice(32, 48)
+        with pytest.raises(ValueError):
+            distributed.host_batch_slice(63)
+        assert distributed.host_shard(list(range(10))) == [2, 6]
+
+    # round-robin math for a simulated 4-host layout
+    items = list(range(10))
+    shards = [
+        [it for i, it in enumerate(items) if i % 4 == p] for p in range(4)
+    ]
+    assert sorted(sum(shards, [])) == items
+    assert shards[1] == [1, 5, 9]
