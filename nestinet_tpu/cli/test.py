@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--testset", type=str, default="testset.txt")
     p.add_argument("--loader_workers", type=int, default=8)
+    p.add_argument("--extraction", type=str, default="host",
+                   choices=["host", "device"],
+                   help="host: kd-tree patch extraction on CPU threads; "
+                        "device: upload each cloud once and run the "
+                        "grid-hash ball query + forward as one TPU "
+                        "program (ops/ball_query.py)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help=">1 shards each batch over a data mesh of that "
                         "many devices (params replicated)")
@@ -42,6 +48,21 @@ def main(argv=None):
                         "expert only (~3x fewer FLOPs, identical outputs); "
                         "dense: run all experts like the reference")
     args = p.parse_args(argv)
+
+    if args.extraction == "device":
+        from ..infer.device_pipeline import predict_shapes_device
+
+        stats = predict_shapes_device(
+            args.results_path,
+            dataset_name=args.dataset_name,
+            testset=args.testset,
+            data_path=args.dataset_path,
+            batch_size=args.batch_size,
+        )
+        print(json.dumps(
+            {k: v for k, v in stats.items() if k != "shapes"}, indent=2
+        ))
+        return
 
     stats = predict_shapes(
         args.results_path,

@@ -1,0 +1,176 @@
+"""Fully device-resident streaming inference.
+
+The host path (`predict.py`) extracts patches with the kd-tree engine
+and uploads [B, S*N, 3] patch tensors per batch.  Here the SHAPE CLOUD
+is uploaded once, hashed into per-radius grids on device
+(`ops/ball_query.py`), and each step runs ONE compiled program:
+
+    query points [B, 3] -> grid ball query -> patch gather/center/scale
+    -> MuPS -> CNN forward -> normals (+ expert outputs)
+
+Per step the host sends a [B, 3] query slice (~3 KB) instead of
+multi-MB patch tensors, and the kd-tree never runs on the host — the
+SURVEY §7 "north star" path for streaming scans.
+
+Neighbor-selection parity: the reference randomly subsamples balls
+larger than `points_per_patch` (`pcpnet_dataset.py:319-321`); here the
+cloud is pre-shuffled once per shape so the grid's first-k selection is
+a uniform subsample as well (same distribution, different stream).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pcpnet import _load_cached
+from ..models.experts import ExpertsNormEst
+from ..ops.ball_query import build_grid, extract_patches, max_cell_occupancy
+from .predict import _pad_batch, load_run, restore_model
+from .writer import ShapeScatterWriter
+
+
+def _capacity_bucket(occ: int) -> int:
+    """Round cell occupancy up to a power of two (bounds the number of
+    compiled program variants)."""
+    cap = 32
+    while cap < occ:
+        cap *= 2
+    return min(cap, 4096)
+
+
+def make_device_forward(model, n_scales, *, num_point, cell_capacity):
+    """One jitted program: query points -> patches (per radius) ->
+    model forward.  Radii arrive as a traced [n_scales] array so one
+    compiled program serves every shape (absolute radii are per-shape:
+    fraction x bbox diagonal)."""
+    is_moe = isinstance(model, ExpertsNormEst)
+
+    def fwd(params, state, grids, queries, radii):
+        pts_scales, neff_scales = [], []
+        for i in range(n_scales):
+            p, ne = extract_patches(
+                grids[i], queries, radii[i], k=num_point,
+                cell_capacity=cell_capacity, center="point",
+            )
+            pts_scales.append(p)
+            neff_scales.append(ne)
+        batch = {
+            "points": jnp.concatenate(pts_scales, axis=1),
+            "n_eff": jnp.stack(neff_scales, axis=1),
+        }
+        outputs, _ = model.apply(params, state, None, batch, False, 0.0)
+        normals = model.predict_normals(outputs)
+        if is_moe:
+            experts, probs = model.predict_experts(outputs)
+            return normals, experts, probs
+        return normals
+
+    return jax.jit(fwd), is_moe
+
+
+def predict_shapes_device(
+    run_dir: str,
+    *,
+    dataset_name: str = "pcpnet_device",
+    testset: str = "testset.txt",
+    data_path: str | None = None,
+    batch_size: int = 256,
+    loader_workers: int = 0,  # unused; kept for signature parity
+    output_dir: str | None = None,
+    seed: int = 3627473,
+) -> dict:
+    """Streaming inference with on-device patch extraction.
+
+    Every point of every shape in `testset`, in order, like the host
+    path; writes the same `.normals` (+ `.experts`/`.experts_probs`)
+    files.
+    """
+    del loader_workers
+    rd, cfg, gmm, model = load_run(run_dir)
+    indir = data_path if data_path is not None else cfg.data_path
+    out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
+
+    with open(f"{indir}/{testset}") as f:
+        shape_names = [s.strip() for s in f if s.strip()]
+
+    clouds = [
+        _load_cached(f"{indir}/{name}.xyz", np.float32) for name in shape_names
+    ]
+    counts = [c.shape[0] for c in clouds]
+    writer = ShapeScatterWriter(
+        out_dir, shape_names, counts,
+        n_experts=cfg.n_experts if cfg.model == "experts_n_est" else None,
+    )
+
+    # restore once with a representative padded batch
+    sample_pts = np.zeros(
+        (batch_size, len(cfg.patch_radius) * cfg.num_point, 3), np.float32
+    )
+    sample = {
+        "points": sample_pts,
+        "n_eff": np.full((batch_size, len(cfg.patch_radius)), cfg.num_point,
+                         np.int32),
+    }
+    params, state = restore_model(rd, cfg, model, sample)
+
+    rng = np.random.RandomState(seed)
+    n_patches = 0
+    t0 = time.perf_counter()
+    fwd_cache: dict[int, object] = {}
+    for name, cloud in zip(shape_names, clouds):
+        bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
+        radii_abs = [r * bbdiag for r in cfg.patch_radius]
+
+        # pre-shuffle: uniform first-k subsampling parity (see module doc)
+        perm = rng.permutation(cloud.shape[0])
+        shuffled = jnp.asarray(cloud[perm], jnp.float32)
+        grids = [build_grid(shuffled, r) for r in radii_abs]
+        occ = max(max_cell_occupancy(g) for g in grids)
+        cap = _capacity_bucket(occ)
+        if cap not in fwd_cache:
+            fwd_cache[cap] = make_device_forward(
+                model, len(radii_abs), num_point=cfg.num_point,
+                cell_capacity=cap,
+            )
+        fwd, is_moe = fwd_cache[cap]
+        radii_dev = jnp.asarray(radii_abs, jnp.float32)
+
+        pending = None
+
+        def drain(p):
+            real, outs = p
+            if is_moe:
+                nrm, ex, pr = outs
+                writer.append(np.asarray(nrm)[:real], np.asarray(ex)[:real],
+                              np.asarray(pr)[:real])
+            else:
+                writer.append(np.asarray(outs)[:real])
+
+        for start in range(0, cloud.shape[0], batch_size):
+            q = cloud[start : start + batch_size].astype(np.float32)
+            real = q.shape[0]
+            if real < batch_size:
+                q = np.concatenate(
+                    [q, np.zeros((batch_size - real, 3), np.float32)]
+                )
+            outs = fwd(params, state, grids, jnp.asarray(q), radii_dev)
+            if pending is not None:
+                drain(pending)
+            pending = (real, outs)
+            n_patches += real
+        if pending is not None:
+            drain(pending)
+    elapsed = time.perf_counter() - t0
+
+    assert writer.done, "writer did not consume all shapes"
+    return {
+        "n_patches": n_patches,
+        "seconds": elapsed,
+        "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
+        "shapes": writer.written,
+        "output_dir": out_dir,
+    }

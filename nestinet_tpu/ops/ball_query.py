@@ -1,0 +1,208 @@
+"""On-device fixed-radius neighborhood search (grid-hash ball query).
+
+The reference extracts patches with a host-side scipy cKDTree, one
+query at a time (`pcpnet_dataset.py:304`).  This module does the same
+search as ONE compiled XLA program over a whole query batch, with
+static shapes throughout — the TPU answer to a spatial index:
+
+  1. hash points into a uniform grid of cell size = radius;
+  2. sort points by cell id (device sort), record per-cell
+     start/count via a searchsorted over the sorted ids;
+  3. per query: visit the 27 neighboring cells, read up to
+     `cell_capacity` candidates from each (static cap), mask by true
+     distance, and compact the first `k` hits to fixed-size output.
+
+Together with `ops/mups.py` this makes patch extraction + MuPS + CNN a
+fully device-resident pipeline: the shape cloud is uploaded once and
+only query indices stream afterwards.
+
+Caps and parity:
+  * `cell_capacity` bounds points per cell; overflow points are
+    dropped from candidate lists (detectable: `build_grid` reports the
+    max occupancy so callers can re-build with a larger cap).
+  * The reference randomly subsamples when a ball exceeds
+    `points_per_patch` and zero-pads below it
+    (`pcpnet_dataset.py:319-330`); here selection order follows the
+    (shuffled) sorted point order — distributionally equivalent when
+    the builder is given a permuted cloud, exact parity tests compare
+    SETS of neighbors against scipy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HashGrid(NamedTuple):
+    """A device-resident uniform grid over a point cloud."""
+
+    points: jnp.ndarray  # [M, 3] sorted by cell id
+    order: jnp.ndarray  # [M] original indices of the sorted points
+    cell_ids: jnp.ndarray  # [M] sorted cell id per point
+    origin: jnp.ndarray  # [3] grid origin
+    dims: jnp.ndarray  # [3] int32 cells per axis
+    cell_size: jnp.ndarray  # [] float cell edge length
+
+
+def _cell_of(points, origin, cell_size, dims):
+    ijk = jnp.floor((points - origin) / cell_size).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, dims - 1)
+    return (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
+
+
+@partial(jax.jit, static_argnames=("max_dim",))
+def build_grid(points: jnp.ndarray, radius, *, max_dim: int = 64) -> HashGrid:
+    """Hash `points` [M, 3] into cells of edge `radius` (device sort).
+
+    `max_dim` caps cells per axis (memory guard for tiny radii); cells
+    only get coarser, never incorrect — the query still distance-tests.
+    """
+    points = points.astype(jnp.float32)
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    radius = jnp.asarray(radius, jnp.float32)
+    dims = jnp.minimum(
+        jnp.maximum(jnp.ceil((hi - lo) / radius), 1).astype(jnp.int32), max_dim
+    )
+    cell_size = jnp.maximum((hi - lo) / dims.astype(jnp.float32), radius)
+    cell_size = jnp.max(cell_size)  # cubic cells >= radius
+    dims = jnp.maximum(
+        jnp.ceil((hi - lo) / cell_size).astype(jnp.int32), 1
+    )
+    ids = _cell_of(points, lo, cell_size, dims)
+    order = jnp.argsort(ids)
+    return HashGrid(
+        points=points[order],
+        order=order.astype(jnp.int32),
+        cell_ids=ids[order],
+        origin=lo,
+        dims=dims,
+        cell_size=cell_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "cell_capacity"))
+def ball_query(
+    grid: HashGrid,
+    queries: jnp.ndarray,
+    radius,
+    *,
+    k: int,
+    cell_capacity: int = 64,
+):
+    """Fixed-radius neighbors of each query point.
+
+    Args:
+        grid: a HashGrid built with cell size >= radius.
+        queries: [B, 3].
+        radius: search radius (<= grid cell size).
+        k: neighbors returned per query (zero-padded).
+        cell_capacity: candidates read per neighboring cell.
+
+    Returns:
+        idx   [B, k] int32 indices into the ORIGINAL cloud (0-padded),
+        n_eff [B]    int32 true neighbor count (clipped at k).
+    """
+    B = queries.shape[0]
+    radius = jnp.asarray(radius, jnp.float32)
+    queries = queries.astype(jnp.float32)
+
+    dims = grid.dims
+    ijk = jnp.floor((queries - grid.origin) / grid.cell_size).astype(jnp.int32)
+
+    # 27 neighboring cells per query -> [B, 27]
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(27, 3)
+    ncell = ijk[:, None, :] + offs[None]  # [B, 27, 3]
+    in_bounds = jnp.all((ncell >= 0) & (ncell < dims[None, None]), axis=-1)
+    ncell = jnp.clip(ncell, 0, dims - 1)
+    nids = (ncell[..., 0] * dims[1] + ncell[..., 1]) * dims[2] + ncell[..., 2]
+    # Out-of-bounds slots get unique negative sentinels (match nothing),
+    # and a cell visited twice (clipping collisions on small grids)
+    # counts only at its first occurrence — otherwise neighbors would be
+    # double-counted.
+    sentinel = -1 - jnp.arange(27, dtype=jnp.int32)
+    nids = jnp.where(in_bounds, nids, sentinel[None])
+    eq_earlier = (nids[:, :, None] == nids[:, None, :]) & jnp.tril(
+        jnp.ones((27, 27), bool), k=-1
+    )[None]
+    first_visit = ~jnp.any(eq_earlier, axis=-1)
+
+    # per-cell ranges in the sorted order via binary search
+    starts = jnp.searchsorted(grid.cell_ids, nids.reshape(-1), side="left")
+    ends = jnp.searchsorted(grid.cell_ids, nids.reshape(-1), side="right")
+    starts = starts.reshape(B, 27)
+    counts = (ends.reshape(B, 27) - starts) * (in_bounds & first_visit)
+
+    # candidate rows: [B, 27, C] indices into the sorted cloud
+    lane = jnp.arange(cell_capacity, dtype=jnp.int32)
+    cand = starts[..., None] + lane[None, None]
+    valid = lane[None, None] < jnp.minimum(counts, cell_capacity)[..., None]
+    cand = jnp.where(valid, cand, 0).reshape(B, 27 * cell_capacity)
+    valid = valid.reshape(B, 27 * cell_capacity)
+
+    cpts = grid.points[cand]  # [B, 27C, 3]
+    d2 = jnp.sum(jnp.square(cpts - queries[:, None]), axis=-1)
+    hit = valid & (d2 <= radius * radius)
+    n_eff = jnp.minimum(jnp.sum(hit, axis=1), k).astype(jnp.int32)
+
+    # compact the first k hits: stable-sort misses to the back
+    rank = jnp.where(hit, 0, 1).astype(jnp.int32)
+    take = jnp.argsort(rank, axis=1, stable=True)[:, :k]  # [B, k]
+    took_hit = jnp.take_along_axis(hit, take, axis=1)
+    sorted_rows = jnp.take_along_axis(cand, take, axis=1)
+    idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
+    return idx.astype(jnp.int32), n_eff
+
+
+def extract_patches(
+    grid: HashGrid,
+    queries: jnp.ndarray,
+    radius,
+    *,
+    k: int,
+    cell_capacity: int = 64,
+    center: str = "point",
+):
+    """Ball query + the reference's patch post-processing on device:
+    gather neighbor coordinates, zero-pad, center at the query point (or
+    patch mean), scale by 1/radius (`pcpnet_dataset.py:298-343`).
+
+    Returns (patch_points [B, k, 3], n_eff [B]).
+    """
+    idx, n_eff = ball_query(
+        grid, queries, radius, k=k, cell_capacity=cell_capacity
+    )
+    # gather from the ORIGINAL ordering: invert the sort (original index
+    # idx -> position). grid.points is sorted; map idx back via order.
+    # Build inverse permutation once per call (cheap on device).
+    inv = jnp.zeros_like(grid.order).at[grid.order].set(
+        jnp.arange(grid.order.shape[0], dtype=jnp.int32)
+    )
+    pts = grid.points[inv[idx]]  # [B, k, 3]
+    mask = (jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None])[..., None]
+    radius = jnp.asarray(radius, jnp.float32)
+    if center == "point":
+        pts = pts - queries[:, None]
+    elif center == "mean":
+        denom = jnp.maximum(n_eff[:, None, None], 1).astype(jnp.float32)
+        mean = jnp.sum(jnp.where(mask, pts, 0.0), axis=1, keepdims=True) / denom
+        pts = pts - mean
+    pts = jnp.where(mask, pts / radius, 0.0)
+    return pts, n_eff
+
+
+def max_cell_occupancy(grid: HashGrid) -> int:
+    """Host-side helper: the largest point count in any cell, for
+    validating `cell_capacity` (a cap below this can drop candidates)."""
+    ids = np.asarray(grid.cell_ids)
+    if ids.size == 0:
+        return 0
+    _, counts = np.unique(ids, return_counts=True)
+    return int(counts.max())

@@ -1,0 +1,109 @@
+"""Device-resident extraction pipeline vs the host kd-tree path.
+
+When `num_point` exceeds every ball's true size, both paths feed the
+model the SAME neighbor sets (no subsampling), and MuPS is
+permutation-invariant over patch points — so outputs must agree up to
+float-order noise."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nestinet_tpu.core import checkpoint as ckpt_lib
+from nestinet_tpu.core.config import Config
+from nestinet_tpu.core.rundir import RunDir
+from nestinet_tpu.infer.device_pipeline import predict_shapes_device
+from nestinet_tpu.infer.predict import predict_shapes
+from nestinet_tpu.models import build_model
+from nestinet_tpu.ops.gmm import get_3d_grid_gmm
+from nestinet_tpu.train.train_step import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def run_with_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("device_pipe"))
+    rng = np.random.RandomState(11)
+    n = 400
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    np.savetxt(os.path.join(root, "s.xyz"), v + 0.01 * rng.randn(n, 3))
+    np.savetxt(os.path.join(root, "s.normals"), v)
+    with open(os.path.join(root, "mini.txt"), "w") as f:
+        f.write("s\n")
+
+    # num_point=64 is far above any ball size at these radii on a
+    # 400-point sphere -> no subsampling on either path.
+    cfg = Config(
+        model="ss_norm_est", log_dir=os.path.join(root, "run"),
+        data_path=root, patch_radius=(0.15,), num_point=64,
+        num_gaussians=3, gmm_variance=0.111, batch_size=16,
+    )
+    rd = RunDir.create(cfg.log_dir)
+    cfg.save(rd.config_path)
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    gmm.save(rd.gmm_path)
+    model = build_model(cfg, gmm)
+    batch = {
+        "points": rng.uniform(-1, 1, (16, 64, 3)).astype(np.float32),
+        "n_eff": np.full((16, 1), 64, np.int32),
+    }
+    params, state = model.init(jax.random.PRNGKey(0), batch)
+    ckpt_lib.save(rd.ckpt_dir, params=params, state=state,
+                  opt_state=make_optimizer(cfg).init(params), step=0, epoch=0)
+    return root, rd.path
+
+
+def test_device_matches_host_when_no_subsampling(run_with_data):
+    root, run_path = run_with_data
+    host = predict_shapes(run_path, dataset_name="host", testset="mini.txt",
+                          data_path=root, batch_size=16, loader_workers=2)
+    dev = predict_shapes_device(run_path, dataset_name="dev",
+                                testset="mini.txt", data_path=root,
+                                batch_size=16)
+    assert host["n_patches"] == dev["n_patches"] == 400
+
+    h = np.loadtxt(os.path.join(host["output_dir"], "s.normals"))
+    d = np.loadtxt(os.path.join(dev["output_dir"], "s.normals"))
+    hn = h / np.linalg.norm(h, axis=1, keepdims=True)
+    dn = d / np.linalg.norm(d, axis=1, keepdims=True)
+    gap = np.degrees(np.arccos(np.clip(np.abs((hn * dn).sum(1)), -1, 1)))
+    assert gap.max() < 0.5, f"max direction gap {gap.max():.4f} deg"
+
+
+def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
+    """MoE variant writes .experts/.experts_probs through the device
+    path too."""
+    root, _ = run_with_data
+    out = str(tmp_path_factory.mktemp("moe_dev"))
+    rng = np.random.RandomState(3)
+    cfg = Config(
+        model="experts_n_est", log_dir=os.path.join(out, "run"),
+        data_path=root, patch_radius=(0.15, 0.3), num_point=64,
+        num_gaussians=3, gmm_variance=0.111, batch_size=16,
+        n_experts=3, expert_dict={0: [0], 1: [1], 2: [0, 1]},
+    )
+    rd = RunDir.create(cfg.log_dir)
+    cfg.save(rd.config_path)
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    gmm.save(rd.gmm_path)
+    model = build_model(cfg, gmm)
+    batch = {
+        "points": rng.uniform(-1, 1, (16, 128, 3)).astype(np.float32),
+        "n_eff": np.full((16, 2), 64, np.int32),
+    }
+    params, state = model.init(jax.random.PRNGKey(0), batch)
+    ckpt_lib.save(rd.ckpt_dir, params=params, state=state,
+                  opt_state=make_optimizer(cfg).init(params), step=0, epoch=0)
+
+    stats = predict_shapes_device(rd.path, dataset_name="dev",
+                                  testset="mini.txt", data_path=root,
+                                  batch_size=16)
+    od = stats["output_dir"]
+    assert np.loadtxt(os.path.join(od, "s.normals")).shape == (400, 3)
+    ex = np.loadtxt(os.path.join(od, "s.experts"))
+    assert ex.shape == (400,) and set(np.unique(ex)) <= {0, 1, 2}
+    probs = np.loadtxt(os.path.join(od, "s.experts_probs"))
+    assert probs.shape == (400, 3)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-4)
