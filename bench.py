@@ -224,20 +224,28 @@ def main():
         # compute dominates dispatch (real attached TPUs); the pipelined
         # dense monolith can win on high-latency tunneled chips.  The
         # framework serves whichever is faster.
+        from nestinet_tpu.infer.device_pipeline import predict_shapes_device
+
         rates = {}
-        for mode in ("sparse", "dense"):
-            predict_shapes(
-                run_path, dataset_name=f"warm_{mode}", testset="benchset.txt",
-                data_path=root, batch_size=BATCH, loader_workers=8,
-                moe_inference=mode,
-            )
+        for mode in ("device", "sparse", "dense"):
+            if mode == "device":
+                # upload the cloud once; ball query + MuPS + CNN fused
+                # into one program per batch (ops/ball_query.py)
+                def run(tag):
+                    return predict_shapes_device(
+                        run_path, dataset_name=tag, testset="benchset.txt",
+                        data_path=root, batch_size=BATCH,
+                    )
+            else:
+                def run(tag, _m=mode):
+                    return predict_shapes(
+                        run_path, dataset_name=tag, testset="benchset.txt",
+                        data_path=root, batch_size=BATCH, loader_workers=8,
+                        moe_inference=_m,
+                    )
+            run(f"warm_{mode}")
             mark(f"{mode} warmup done (programs compiled)")
-            stats = predict_shapes(
-                run_path, dataset_name=f"bench_{mode}", testset="benchset.txt",
-                data_path=root, batch_size=BATCH, loader_workers=8,
-                moe_inference=mode,
-            )
-            rates[mode] = stats["patches_per_sec"]
+            rates[mode] = run(f"bench_{mode}")["patches_per_sec"]
             mark(f"{mode} inference: {rates[mode]:.1f} patches/s")
         ours = max(rates.values())
 
