@@ -238,3 +238,36 @@ def test_distributed_helpers_single_process():
     ]
     assert sorted(sum(shards, [])) == items
     assert shards[1] == [1, 5, 9]
+
+
+def test_switching_train_step(tiny_dataset, rng):
+    """One noise-switching train step: the loss consumes the per-shape
+    noise target alongside normals (`train_n_est_w_switching.py`
+    semantics)."""
+    cfg = Config(
+        model="ms_sw_n_est",
+        patch_radius=(0.2, 0.4),
+        num_point=16,
+        num_gaussians=3,
+        gmm_variance=0.111,
+        batch_size=8,
+        outputs=("unoriented_normals", "noise"),
+    )
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    model = build_model(cfg, gmm)
+    mesh = make_mesh(1, 1)
+    batch_np = {
+        "points": rng.uniform(-1, 1, size=(8, 2 * 16, 3)).astype(np.float32),
+        "n_eff": np.full((8, 2), 16, dtype=np.int32),
+        "normals": rng.randn(8, 3).astype(np.float32),
+        "noise": rng.rand(8).astype(np.float32) * 0.01,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params, state = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(cfg)
+    p, s, o = place_train_state(mesh, params, state, tx.init(params))
+    step_fn = jit_train_step(make_train_step(model, cfg, tx))
+    p, s, o, loss = step_fn(p, s, o, jax.random.PRNGKey(1),
+                            shard_batch(batch_np, mesh),
+                            jnp.asarray(0, jnp.int32))
+    assert np.isfinite(float(loss))
