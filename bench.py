@@ -127,14 +127,21 @@ def _build_run_at(log_dir) -> str:
     gmm.save(rd.gmm_path)
     model = build_model(cfg, gmm)
     rng = np.random.RandomState(1)
+    # Init ON THE CPU BACKEND with a tiny batch: parameter shapes don't
+    # depend on batch size, and initializing on the accelerator means
+    # fetching ~2 GB (params + Adam moments) back through the download
+    # tunnel (~1.5 MB/s) just to serialize it — measured at ~24 minutes.
+    init_b = 4
     batch = {
-        "points": jnp.asarray(
-            rng.uniform(-1, 1, size=(BATCH, len(RADII) * NUM_POINT, 3)), jnp.float32
-        ),
-        "n_eff": jnp.full((BATCH, len(RADII)), NUM_POINT, jnp.int32),
+        "points": rng.uniform(
+            -1, 1, size=(init_b, len(RADII) * NUM_POINT, 3)
+        ).astype(np.float32),
+        "n_eff": np.full((init_b, len(RADII)), NUM_POINT, np.int32),
     }
-    params, state = model.init_jitted(jax.random.PRNGKey(0), batch)
-    opt_state = make_optimizer(cfg).init(params)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        opt_state = make_optimizer(cfg).init(params)
     ckpt_lib.save(
         rd.ckpt_dir, params=params, state=state, opt_state=opt_state, step=0, epoch=0
     )
@@ -155,7 +162,12 @@ def reference_style_rate(run_path: str, root: str) -> float:
     import functools
 
     from nestinet_tpu.data.loader import get_data_loader
-    from nestinet_tpu.infer.predict import _pad_batch, load_run, restore_model
+    from nestinet_tpu.infer.predict import (
+        _pad_batch,
+        _serving_jit,
+        load_run,
+        restore_model,
+    )
 
     rd, cfg, gmm, model = load_run(run_path)
     loader, dataset = get_data_loader(
@@ -168,9 +180,17 @@ def reference_style_rate(run_path: str, root: str) -> float:
     sample = next(iter(loader))
     params, state = restore_model(rd, cfg, model, _pad_batch(sample, BATCH))
 
-    manager_fn = jax.jit(model.apply_manager)
+    # Same programs as the sparse serving pass (shared via the model's
+    # serving-jit cache, so nothing recompiles here).
+    manager_fn = _serving_jit(model, "manager", lambda: jax.jit(model.apply_manager))
     expert_fns = {
-        gi: jax.jit(functools.partial(model.apply_expert_member, group_index=gi))
+        gi: _serving_jit(
+            model,
+            f"expert_group_{gi}",
+            lambda gi=gi: jax.jit(
+                functools.partial(model.apply_expert_member, group_index=gi)
+            ),
+        )
         for gi in range(len(model.groups))
     }
     table = model.expert_to_group()

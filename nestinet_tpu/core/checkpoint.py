@@ -24,6 +24,16 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _template(tree):
+    """Restore template: keep ShapeDtypeStructs as-is (pure tree
+    structure, nothing to fetch), materialize real arrays on host.
+    Passing eval_shape outputs here avoids ever pulling initialized
+    parameters off the device just to learn the tree structure."""
+    return jax.tree.map(
+        lambda x: x if isinstance(x, jax.ShapeDtypeStruct) else np.asarray(x), tree
+    )
+
+
 def save(ckpt_dir: str, *, params, state, opt_state, step: int, epoch: int, keep_history: bool = False) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
@@ -53,7 +63,9 @@ def exists(ckpt_dir: str) -> bool:
 def restore(ckpt_dir: str, *, params, state, opt_state):
     """Restore into the given templates (shapes/dtypes must match).
 
-    Returns (params, state, opt_state, step, epoch).
+    Templates may be real arrays or `jax.ShapeDtypeStruct` trees (e.g.
+    from `jax.eval_shape(model.init, ...)`) — only the tree structure is
+    consumed.  Returns (params, state, opt_state, step, epoch).
     """
     with open(os.path.join(ckpt_dir, META_NAME)) as f:
         meta = json.load(f)
@@ -61,9 +73,9 @@ def restore(ckpt_dir: str, *, params, state, opt_state):
     with open(path, "rb") as f:
         blob = f.read()
     template = {
-        "params": _to_host(params),
-        "state": _to_host(state),
-        "opt_state": _to_host(opt_state),
+        "params": _template(params),
+        "state": _template(state),
+        "opt_state": _template(opt_state),
     }
     payload = serialization.from_bytes(template, blob)
     return (

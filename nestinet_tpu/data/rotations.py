@@ -110,6 +110,38 @@ def mat2quat(m) -> np.ndarray:
     return q
 
 
+def quat2euler(q):
+    """(z, y, x) Euler angles from quaternion (w, x, y, z)
+    (parity: `utils/eulerangles.py:315`)."""
+    return mat2euler(quat2mat(q))
+
+
+def euler2angle_axis(z: float = 0.0, y: float = 0.0, x: float = 0.0):
+    """(theta, unit_vector) angle-axis form of the euler2mat rotation
+    (parity: `utils/eulerangles.py:344`)."""
+    w, vx, vy, vz = euler2quat(z, y, x)
+    vec = np.array([vx, vy, vz])
+    n = math.sqrt(float(vec @ vec))
+    theta = 2.0 * math.atan2(n, w)
+    if n < np.finfo(np.float64).eps:
+        return 0.0, np.array([1.0, 0.0, 0.0])
+    return theta, vec / n
+
+
+def angle_axis2euler(theta: float, vector, is_normalized: bool = False):
+    """(z, y, x) Euler angles from an angle-axis rotation
+    (parity: `utils/eulerangles.py:378`)."""
+    vec = np.asarray(vector, dtype=np.float64)
+    if not is_normalized:
+        n = math.sqrt(float(vec @ vec))
+        if n < np.finfo(np.float64).eps:
+            return 0.0, 0.0, 0.0
+        vec = vec / n
+    half = theta / 2.0
+    q = np.concatenate([[math.cos(half)], math.sin(half) * vec])
+    return mat2euler(quat2mat(q))
+
+
 def random_rotation(rng: np.random.RandomState) -> np.ndarray:
     """The trainer's whole-batch rotation: R^T of euler2mat on three
     normal-distributed angles scaled by 2*pi

@@ -29,7 +29,7 @@ import numpy as np
 from ..data.pcpnet import _load_cached
 from ..models.experts import ExpertsNormEst
 from ..ops.ball_query import build_grid, extract_patches, max_cell_occupancy
-from .predict import _pad_batch, load_run, restore_model
+from .predict import _pad_batch, _serving_jit, load_run, restore_model
 from .writer import ShapeScatterWriter
 
 
@@ -66,7 +66,14 @@ def make_device_forward(model, n_scales, *, num_point, cell_capacity):
         normals = model.predict_normals(outputs)
         if is_moe:
             experts, probs = model.predict_experts(outputs)
-            return normals, experts, probs
+            # Pack into ONE [B, 4+E] array: a remote-TPU fetch costs a
+            # ~24 ms round trip regardless of size, so three small
+            # fetches per batch would triple the drain latency.
+            # predict_experts yields ids [B] and probs [B, E]
+            return jnp.concatenate(
+                [normals, experts[:, None].astype(jnp.float32), probs],
+                axis=1,
+            )
         return normals
 
     return jax.jit(fwd), is_moe
@@ -120,7 +127,6 @@ def predict_shapes_device(
     rng = np.random.RandomState(seed)
     n_patches = 0
     t0 = time.perf_counter()
-    fwd_cache: dict[int, object] = {}
     for name, cloud in zip(shape_names, clouds):
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
         radii_abs = [r * bbdiag for r in cfg.patch_radius]
@@ -131,12 +137,14 @@ def predict_shapes_device(
         grids = [build_grid(shuffled, r) for r in radii_abs]
         occ = max(max_cell_occupancy(g) for g in grids)
         cap = _capacity_bucket(occ)
-        if cap not in fwd_cache:
-            fwd_cache[cap] = make_device_forward(
+        fwd, is_moe = _serving_jit(
+            model,
+            f"device_fwd_n{cfg.num_point}_s{len(radii_abs)}_c{cap}",
+            lambda: make_device_forward(
                 model, len(radii_abs), num_point=cfg.num_point,
                 cell_capacity=cap,
-            )
-        fwd, is_moe = fwd_cache[cap]
+            ),
+        )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
 
         pending = None
@@ -144,9 +152,12 @@ def predict_shapes_device(
         def drain(p):
             real, outs = p
             if is_moe:
-                nrm, ex, pr = outs
-                writer.append(np.asarray(nrm)[:real], np.asarray(ex)[:real],
-                              np.asarray(pr)[:real])
+                packed = np.asarray(outs)[:real]
+                writer.append(
+                    packed[:, :3],
+                    packed[:, 3].astype(np.int64),
+                    packed[:, 4:],
+                )
             else:
                 writer.append(np.asarray(outs)[:real])
 
@@ -158,6 +169,10 @@ def predict_shapes_device(
                     [q, np.zeros((batch_size - real, 3), np.float32)]
                 )
             outs = fwd(params, state, grids, jnp.asarray(q), radii_dev)
+            try:  # start the device->host copy behind the next dispatch
+                outs.copy_to_host_async()
+            except Exception:
+                pass
             if pending is not None:
                 drain(pending)
             pending = (real, outs)

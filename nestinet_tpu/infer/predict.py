@@ -9,6 +9,7 @@ static batch size, and scatter outputs into `<shape>.normals`
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -25,13 +26,59 @@ from ..ops.gmm import GridGMM
 from .writer import ShapeScatterWriter
 
 
+# Process-level caches.  Serving entry points (predict_shapes,
+# predict_shapes_device) are called repeatedly by long-running servers
+# and by bench.py; without these, every call rebuilds the model
+# (re-tracing and RE-COMPILING all jitted programs — minutes through a
+# remote-TPU tunnel whose compile cache does not persist) and re-reads +
+# re-uploads the multi-GB checkpoint.  Keys carry file mtimes so an
+# updated run dir or checkpoint invalidates naturally.
+_RUN_CACHE: dict = {}
+_RESTORE_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def load_run(run_dir: str):
-    """(cfg, gmm, model, params, state) from a run directory."""
+    """(cfg, gmm, model, params, state) from a run directory.
+
+    Cached per (path, config/gmm mtime): the returned model object owns
+    the jitted serving programs, so reusing it across calls reuses the
+    compiled executables."""
     rd = RunDir.open(run_dir)
+    key = (
+        os.path.abspath(run_dir),
+        os.path.getmtime(rd.config_path),
+        os.path.getmtime(rd.gmm_path),
+    )
+    hit = _RUN_CACHE.get(key)
+    if hit is not None:
+        return hit
     cfg = Config.load(rd.config_path)
     gmm = GridGMM.load(rd.gmm_path)
     model = build_model(cfg, gmm)
-    return rd, cfg, gmm, model
+    _RUN_CACHE[key] = (rd, cfg, gmm, model)
+    return _RUN_CACHE[key]
+
+
+def _serving_jit(model, name: str, make):
+    """Jitted serving programs live on the model object (itself cached
+    by load_run), so re-entering a serving loop reuses the compiled
+    executable instead of re-tracing a fresh jax.jit wrapper."""
+    jits = getattr(model, "_serving_jits", None)
+    if jits is None:
+        jits = model._serving_jits = {}
+    if name not in jits:
+        jits[name] = make()
+    return jits[name]
 
 
 def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None):
@@ -42,12 +89,24 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
     from ..train.mesh import replicated
     from ..train.train_step import make_optimizer
 
+    ckpt_meta = os.path.join(rd.ckpt_dir, ckpt_lib.META_NAME)
+    cache_key = (id(model), rd.ckpt_dir, os.path.getmtime(ckpt_meta),
+                 _mesh_key(mesh))
+    hit = _RESTORE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
     rng = jax.random.PRNGKey(cfg.seed)
     batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
-    params, state = model.init_jitted(rng, batch)
-    opt_state = make_optimizer(cfg).init(params)
+    # Templates as abstract shapes: eval_shape traces init without
+    # running it, so no initialized parameters are ever computed on (or
+    # fetched from) the device just to learn the tree structure — the
+    # fetch alone costs minutes for the 178M-param flagship through a
+    # remote-TPU tunnel.
+    params_t, state_t = jax.eval_shape(model.init, rng, batch)
+    opt_t = jax.eval_shape(make_optimizer(cfg).init, params_t)
     params, state, _, _, _ = ckpt_lib.restore(
-        rd.ckpt_dir, params=params, state=state, opt_state=opt_state
+        rd.ckpt_dir, params=params_t, state=state_t, opt_state=opt_t
     )
     # Restore yields host arrays; move them to device NOW, explicitly.
     # Leaving the transfer to the first jit dispatch ships hundreds of
@@ -61,6 +120,7 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
         params = jax.device_put(params)
         state = jax.device_put(state)
     jax.block_until_ready((params, state))
+    _RESTORE_CACHE[cache_key] = (params, state)
     return params, state
 
 
@@ -130,14 +190,24 @@ def predict_shapes(
             mesh=mesh,
         )
 
-    @jax.jit
-    def fwd(params, state, batch):
-        outputs, _ = model.apply(params, state, None, batch, False, 0.0)
-        normals = model.predict_normals(outputs)
-        if is_moe:
-            experts, probs = model.predict_experts(outputs)
-            return normals, experts, probs
-        return normals
+    def _make_fwd():
+        def fwd(params, state, batch):
+            outputs, _ = model.apply(params, state, None, batch, False, 0.0)
+            normals = model.predict_normals(outputs)
+            if is_moe:
+                # Pack into ONE [B, 4+E] array: a remote-TPU fetch costs
+                # a ~24 ms round trip regardless of size, so one fetch
+                # per batch instead of three.
+                experts, probs = model.predict_experts(outputs)
+                return jnp.concatenate(
+                    [normals, experts[:, None].astype(jnp.float32), probs],
+                    axis=1,
+                )
+            return normals
+
+        return jax.jit(fwd)
+
+    fwd = _serving_jit(model, "dense_fwd", _make_fwd)
 
     writer = ShapeScatterWriter(
         out_dir,
@@ -150,11 +220,11 @@ def predict_shapes(
         """Materialize a dispatched batch's outputs into the writer."""
         real, outs = pending
         if is_moe:
-            normals, experts, probs = outs
+            packed = np.asarray(outs)[:real]
             writer.append(
-                np.asarray(normals)[:real],
-                np.asarray(experts)[:real],
-                np.asarray(probs)[:real],
+                packed[:, :3],
+                packed[:, 3].astype(np.int64),
+                packed[:, 4:],
             )
         else:
             writer.append(np.asarray(outs)[:real])
@@ -175,6 +245,10 @@ def predict_shapes(
             "n_eff": put(batch["n_eff"]),
         }
         outs = fwd(params, state, device_batch)
+        try:  # start the device->host copy behind the next dispatch
+            outs.copy_to_host_async()
+        except Exception:
+            pass
         if pending is not None:
             _drain(pending)
         pending = (real, outs)
@@ -219,10 +293,16 @@ def _predict_sparse_moe(
     import functools
 
     put = _make_put(mesh)
-    manager_fn = jax.jit(model.apply_manager)
+    manager_fn = _serving_jit(
+        model, "manager", lambda: jax.jit(model.apply_manager)
+    )
     expert_fns = {
-        gi: jax.jit(
-            functools.partial(model.apply_expert_member, group_index=gi)
+        gi: _serving_jit(
+            model,
+            f"expert_group_{gi}",
+            lambda gi=gi: jax.jit(
+                functools.partial(model.apply_expert_member, group_index=gi)
+            ),
         )
         for gi in range(len(model.groups))
     }

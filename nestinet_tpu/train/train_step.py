@@ -29,11 +29,45 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer: {cfg.optimizer}")
 
 
+def _startup_barrier(params, batch):
+    """A zero-valued scalar whose computation forces one tiny collective
+    over each sharded axis BEFORE any real work (summing a batch-sharded
+    input syncs the data groups; summing an expert-sharded parameter
+    syncs the expert groups).
+
+    Why (CPU virtual meshes only): XLA:CPU's in-process collectives
+    abort the whole process when a rendezvous stays incomplete for a
+    hard-coded 40 s (rendezvous.cc).  On small hosts the virtual
+    devices timeshare cores, so partition start times can stagger by
+    more than the window and the FIRST mid-program collective (after a
+    whole forward pass of per-partition compute) trips it.  Arriving at
+    a near-free barrier first synchronizes the partitions while their
+    pending compute is still tiny; afterwards the program's own dense
+    collective traffic keeps them in lockstep.  On TPU this is not
+    needed (hardware runs partitions truly concurrently) and the
+    barrier is not inserted."""
+    total = jnp.sum(batch["points"])
+    # Touch every parameter leaf so the expert-sharded stacks (whichever
+    # leaves those are) contribute their axis's collective; replicated
+    # leaves reduce locally and add nothing.
+    for leaf in jax.tree.leaves(params):
+        total = total + jnp.sum(leaf.astype(jnp.float32))
+    # A plain `* 0.0` would be constant-folded and the collectives
+    # dead-code-eliminated; the optimization barrier pins the sums and
+    # the 1e-38 scale is far below f32 resolution of any real
+    # coordinate, so downstream numerics are bit-identical.
+    return jax.lax.optimization_barrier(total) * jnp.float32(1e-38)
+
+
 def make_train_step(model, cfg, tx):
     """Returns train_step(params, state, opt_state, rng, batch, step)."""
     bn_sched = bn_momentum_schedule(cfg)
+    cpu_backend = jax.default_backend() == "cpu"
 
     def train_step(params, state, opt_state, rng, batch, step):
+        if cpu_backend:
+            zero = _startup_barrier(params, batch)
+            batch = dict(batch, points=batch["points"] + zero)
         bn_momentum = bn_sched(step)
 
         def loss_fn(p):

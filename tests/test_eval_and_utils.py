@@ -5,10 +5,13 @@ import pytest
 
 from nestinet_tpu.data.depth import depth_to_xyz, world_to_image
 from nestinet_tpu.data.rotations import (
+    angle_axis2euler,
+    euler2angle_axis,
     euler2mat,
     euler2quat,
     mat2euler,
     mat2quat,
+    quat2euler,
     quat2mat,
     random_rotation,
 )
@@ -64,6 +67,27 @@ def test_quat_roundtrip(rng):
         np.testing.assert_allclose(quat2mat(q), m, atol=1e-9)
         q2 = euler2quat(z=z, y=y, x=x)
         np.testing.assert_allclose(np.abs(np.dot(q, q2)), 1.0, atol=1e-9)
+
+
+def test_quat2euler_and_angle_axis_roundtrips(rng):
+    for _ in range(10):
+        z, y, x = rng.uniform(-np.pi / 2 + 0.1, np.pi / 2 - 0.1, 3)
+        np.testing.assert_allclose(
+            quat2euler(euler2quat(z=z, y=y, x=x)), [z, y, x], atol=1e-9
+        )
+        theta, vec = euler2angle_axis(z=z, y=y, x=x)
+        assert np.linalg.norm(vec) == pytest.approx(1.0)
+        np.testing.assert_allclose(
+            angle_axis2euler(theta, vec, is_normalized=True), [z, y, x], atol=1e-9
+        )
+        # unnormalized axis input is normalized internally
+        np.testing.assert_allclose(
+            angle_axis2euler(theta, 3.7 * vec), [z, y, x], atol=1e-9
+        )
+    # identity rotation edge case
+    theta, vec = euler2angle_axis(0.0, 0.0, 0.0)
+    assert theta == pytest.approx(0.0)
+    np.testing.assert_allclose(angle_axis2euler(0.0, [0.0, 0.0, 0.0]), [0, 0, 0])
 
 
 def test_random_rotation_is_orthonormal(rng):
