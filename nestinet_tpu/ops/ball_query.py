@@ -152,10 +152,15 @@ def ball_query(
     hit = valid & (d2 <= radius * radius)
     n_eff = jnp.minimum(jnp.sum(hit, axis=1), k).astype(jnp.int32)
 
-    # compact the first k hits: stable-sort misses to the back
-    rank = jnp.where(hit, 0, 1).astype(jnp.int32)
-    take = jnp.argsort(rank, axis=1, stable=True)[:, :k]  # [B, k]
-    took_hit = jnp.take_along_axis(hit, take, axis=1)
+    # Compact the first k hits.  top_k over a lane-ordered key replaces
+    # a full stable argsort of all 27*cell_capacity lanes: hits get
+    # distinct descending keys in lane order (so top_k returns exactly
+    # the first k hits, in order), misses get key 0 and are masked out.
+    n_lanes = hit.shape[1]
+    lane_key = jnp.arange(n_lanes, 0, -1, dtype=jnp.int32)  # n_lanes..1
+    key = jnp.where(hit, lane_key[None], 0)
+    vals, take = jax.lax.top_k(key, k)  # [B, k]
+    took_hit = vals > 0
     sorted_rows = jnp.take_along_axis(cand, take, axis=1)
     idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
     return idx.astype(jnp.int32), n_eff

@@ -51,6 +51,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--mups_impl", default=None, help="override: jnp|pallas")
+    ap.add_argument("--compute_dtype", default="float32",
+                    help="CNN compute dtype: float32|bfloat16")
     args = ap.parse_args()
     B = args.batch
 
@@ -64,6 +66,7 @@ def main():
     cfg = Config(
         model="experts_n_est", patch_radius=RADII, num_point=NUM_POINT,
         num_gaussians=8, gmm_variance=0.0156, batch_size=B, n_experts=7,
+        compute_dtype=args.compute_dtype,
     )
     if args.mups_impl:
         cfg.mups_impl = args.mups_impl
