@@ -124,6 +124,40 @@ def get_2d_grid_gmm(subdivisions=(5, 5), variance=0.04) -> GridGMM:
     )
 
 
+def get_gmm(
+    points: np.ndarray | None,
+    n_gaussians,
+    *,
+    type: str = "grid",
+    variance: float = 0.04,
+    dim: int = 3,
+    cache_dir: str | None = None,
+) -> GridGMM:
+    """Dispatch between the grid-constructed and data-learned GMMs.
+
+    Parity: `utils/utils.py:20-51` (`get_gmm(points, n_gaussians,
+    NUM_POINT, type='grid'|'learn', ...)`); the learned path caches by
+    data size like the reference's gmms/gmm_*.p pickle cache."""
+    if type == "grid":
+        subdiv = (
+            list(n_gaussians)
+            if isinstance(n_gaussians, (list, tuple))
+            else [int(n_gaussians)] * dim
+        )
+        if dim == 2:
+            return get_2d_grid_gmm(subdiv[:2], variance=variance)
+        if dim == 3:
+            return get_3d_grid_gmm(subdiv[:3], variance=variance)
+        raise ValueError("grid GMMs support dim 2 or 3")
+    if type == "learn":
+        if isinstance(n_gaussians, (list, tuple)):
+            raise ValueError("learned GMM needs a scalar n_gaussians")
+        if points is None:
+            raise ValueError("learned GMM needs data points")
+        return get_learned_gmm(points, int(n_gaussians), cache_dir=cache_dir)
+    raise ValueError(f"unknown GMM type: {type!r} (grid|learn)")
+
+
 def get_learned_gmm(points: np.ndarray, n_gaussians: int, cache_dir: str | None = None) -> GridGMM:
     """Fit a diagonal GMM to data with sklearn (host-side, offline).
 

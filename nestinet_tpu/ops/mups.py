@@ -453,3 +453,26 @@ def fisher_vector_np(xx: np.ndarray, gmm, normalization: bool = True) -> np.ndar
         d_sigma = _norm_cols(d_sigma)
 
     return np.hstack((d_pi, d_mu.flatten(), d_sigma.flatten()))
+
+
+def fisher_vector_per_point_np(xx: np.ndarray, gmm):
+    """Per-point (un-aggregated) Fisher-vector derivatives.
+
+    Parity: `utils/utils.py:214-245` — returns the tuple
+    (d_pi [N, K], d_mu [N, K, D], d_sigma [N, K, D]) BEFORE any point
+    aggregation, used by the derivative visualizations
+    (`viz/fv.py::visualize_derivatives`)."""
+    xx = np.atleast_2d(xx)
+    weights, means, covariances = gmm.weights, gmm.means, gmm.covariances
+
+    q = soft_assignment_np(xx, gmm)  # [N, K]
+    d_pi = (q - weights[None]) / np.sqrt(weights)[None]
+    x_mu = xx[:, None, :] - means[None]  # [N, K, D]
+    sqrt_w = np.sqrt(weights)[None, :, None]
+    d_mu = q[..., None] * x_mu / (np.sqrt(covariances)[None] * sqrt_w)
+    d_sigma = (
+        q[..., None]
+        * (np.square(x_mu) / covariances[None] - 1.0)
+        / (np.sqrt(2.0) * sqrt_w)
+    )
+    return d_pi, d_mu, d_sigma
