@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import jax
 import numpy as np
@@ -21,6 +22,15 @@ META_NAME = "model.meta.json"
 
 
 def _to_host(tree):
+    """Materialize a pytree on host, starting ALL device->host copies
+    first so they stream in parallel — fetching hundreds of parameter
+    leaves serially pays a full round trip per leaf on remote devices
+    (measured: ~minutes for the 178M-param flagship through a tunnel)."""
+    for leaf in jax.tree.leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
@@ -35,12 +45,64 @@ def _template(tree):
 
 
 def save(ckpt_dir: str, *, params, state, opt_state, step: int, epoch: int, keep_history: bool = False) -> str:
-    os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
         "params": _to_host(params),
         "state": _to_host(state),
         "opt_state": _to_host(opt_state),
     }
+    return _write_payload(ckpt_dir, payload, step=step, epoch=epoch,
+                          keep_history=keep_history)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    `save()` materializes the trees on host on the caller's thread
+    (parallel device->host copies; must finish before the next step may
+    donate the buffers) and hands serialization + the atomic file write
+    to a background thread, so training overlaps the multi-GB msgpack
+    encode/IO.  At most one write is in flight: a new save (or `wait()`
+    / process exit) joins the previous one first."""
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) completes; re-raise
+        its error, if it failed."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, ckpt_dir: str, *, params, state, opt_state, step: int,
+             epoch: int, keep_history: bool = False) -> None:
+        self.wait()
+        host = {
+            "params": _to_host(params),
+            "state": _to_host(state),
+            "opt_state": _to_host(opt_state),
+        }
+
+        def _write():
+            try:
+                _write_payload(ckpt_dir, host, step=step, epoch=epoch,
+                               keep_history=keep_history)
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+
+def _write_payload(ckpt_dir: str, payload: dict, *, step: int, epoch: int,
+                   keep_history: bool) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
     blob = serialization.to_bytes(payload)
     name = f"model_e{epoch:05d}.msgpack" if keep_history else CKPT_NAME
     path = os.path.join(ckpt_dir, name)

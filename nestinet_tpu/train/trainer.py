@@ -66,6 +66,7 @@ class Trainer:
         self.opt_state = None
         self.step = 0
         self.start_epoch = 0
+        self._ckpt_writer = ckpt_lib.AsyncCheckpointer()
 
     # ---- data ----
     def _outputs(self):
@@ -117,6 +118,7 @@ class Trainer:
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         params, state = self.model.init_jitted(rng, batch)
         opt_state = self.tx.init(params)
+        self._ckpt_writer.wait()  # never restore under an in-flight write
         if resume and ckpt_lib.exists(self.rundir.ckpt_dir):
             params, state, opt_state, self.step, epoch = ckpt_lib.restore(
                 self.rundir.ckpt_dir, params=params, state=state, opt_state=opt_state
@@ -222,7 +224,10 @@ class Trainer:
         return mean_loss, rms
 
     def save_checkpoint(self, epoch: int):
-        ckpt_lib.save(
+        """Non-blocking: parallel device->host fetch on this thread
+        (before the next step can donate the buffers), then msgpack
+        serialization + atomic write on a background thread."""
+        self._ckpt_writer.save(
             self.rundir.ckpt_dir,
             params=self.params,
             state=self.state,
@@ -230,7 +235,7 @@ class Trainer:
             step=self.step,
             epoch=epoch,
         )
-        self.rundir.log(f"checkpoint saved at epoch {epoch}")
+        self.rundir.log(f"checkpoint dispatched at epoch {epoch}")
 
     def fit(self, max_epoch: int | None = None, resume: bool = True):
         cfg = self.cfg
@@ -245,5 +250,6 @@ class Trainer:
             self.eval_one_epoch(val_loader, val_dataset, epoch)
             if epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1:
                 self.save_checkpoint(epoch)
+        self._ckpt_writer.wait()  # the final write must land on disk
         self.rundir.close()
         return self.params, self.state
