@@ -3,8 +3,13 @@
 The reference saved all graph variables to a single overwritten
 `model.ckpt` every 10 epochs and had NO resume path
 (`train_n_est_w_experts.py:199, 247-250`).  Here checkpoints carry
-(params, state, opt_state, step, epoch, rng) as a msgpack blob plus a
-JSON sidecar, written atomically, and training resumes deterministically.
+(params, state, opt_state, step, epoch) as a msgpack blob plus a JSON
+sidecar, written atomically.  Data-stream randomness is NOT stored:
+loaders derive their RandomState from (seed, epoch)
+(`data/dataset.py::set_epoch`), and the per-step model rng is
+fold_in(seed_key, step), so restoring (step, epoch) alone resumes the
+exact same streams — pinned by tests/test_train_e2e.py's
+resume-determinism test.
 """
 
 from __future__ import annotations
@@ -21,16 +26,24 @@ CKPT_NAME = "model.msgpack"
 META_NAME = "model.meta.json"
 
 
-def _to_host(tree):
+def _to_host(tree, *, copy: bool = False):
     """Materialize a pytree on host, starting ALL device->host copies
     first so they stream in parallel — fetching hundreds of parameter
     leaves serially pays a full round trip per leaf on remote devices
-    (measured: ~minutes for the 178M-param flagship through a tunnel)."""
+    (measured: ~minutes for the 178M-param flagship through a tunnel).
+
+    copy=True forces detached host buffers.  On CPU backends
+    np.asarray(jax.Array) can be ZERO-copy, aliasing the device buffer;
+    a train step with donate_argnums may then reuse that memory while a
+    background checkpoint writer is still serializing it.  Async writers
+    must pass copy=True."""
     for leaf in jax.tree.leaves(tree):
         try:
             leaf.copy_to_host_async()
         except AttributeError:
             pass
+    if copy:
+        return jax.tree.map(lambda x: np.array(x, copy=True), tree)
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
@@ -79,18 +92,24 @@ class AsyncCheckpointer:
             raise err
 
     def save(self, ckpt_dir: str, *, params, state, opt_state, step: int,
-             epoch: int, keep_history: bool = False) -> None:
+             epoch: int, keep_history: bool = False, on_done=None) -> None:
         self.wait()
+        # copy=True: the caller's train step donates these buffers; a
+        # zero-copy view would let step N+1 overwrite memory the writer
+        # thread is still serializing (silent checkpoint corruption on
+        # CPU backends).
         host = {
-            "params": _to_host(params),
-            "state": _to_host(state),
-            "opt_state": _to_host(opt_state),
+            "params": _to_host(params, copy=True),
+            "state": _to_host(state, copy=True),
+            "opt_state": _to_host(opt_state, copy=True),
         }
 
         def _write():
             try:
                 _write_payload(ckpt_dir, host, step=step, epoch=epoch,
                                keep_history=keep_history)
+                if on_done is not None:
+                    on_done(epoch)
             except BaseException as e:  # surfaced on the next wait()
                 self._error = e
 

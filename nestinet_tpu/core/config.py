@@ -77,6 +77,13 @@ class Config:
     # MuPS statistics implementation: "auto" picks the fused Pallas
     # kernel on TPU backends and the XLA broadcast+reduce path elsewhere.
     mups_impl: str = "auto"  # auto | jnp | pallas
+    # Replace every CNN backbone with a single tiny inception block.
+    # For mesh/sharding dryruns and compile-bound tests ONLY: the model
+    # keeps its full structure (MuPS, manager+softmax gate, grouped
+    # vmap-stacked experts, FC heads, losses, optimizer) so SPMD
+    # partitioning, collectives and the optimizer are exercised, but
+    # XLA:CPU codegen drops from minutes to seconds on small hosts.
+    tiny_backbone: bool = False
 
     # checkpointing
     checkpoint_every: int = 10  # epochs

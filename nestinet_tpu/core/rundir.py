@@ -9,6 +9,9 @@ reference's contract, `train_n_est_w_experts.py:97-125, 354`):
         ckpt/             checkpoints (params/state/opt_state/step)
         log_train.txt     textual training log
         metrics.jsonl     structured per-step/epoch scalars
+        tb/               TensorBoard scalar events (same scalars; the
+                          reference wrote TB summaries per step,
+                          `train_n_est_w_experts.py:205-207`)
         <dataset>_results/  inference outputs (.normals/.experts/...)
 
 Collision behavior matches the reference: an existing log_dir gets
@@ -29,6 +32,7 @@ class RunDir:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._log_file = None
         self._metrics_file = None
+        self._tb = None
 
     # ---- creation ----
     @staticmethod
@@ -81,16 +85,29 @@ class RunDir:
         print(msg, flush=True)
 
     def metrics(self, **scalars) -> None:
-        """Append one JSON line of scalars (structured TB replacement)."""
+        """Append one JSON line of scalars AND mirror numeric values to
+        the TensorBoard event file under tags `<kind>/<key>` (stepped by
+        the record's `step` when present)."""
         if self._metrics_file is None:
             self._metrics_file = open(os.path.join(self.path, "metrics.jsonl"), "a")
         record = {"time": time.time()}
         record.update(scalars)
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
+        if self._tb is None:
+            from .tb import EventWriter
+
+            self._tb = EventWriter(os.path.join(self.path, "tb"))
+        kind = scalars.get("kind", "")
+        step = int(scalars.get("step", 0))
+        self._tb.scalars(
+            str(kind),
+            {k: v for k, v in scalars.items() if k not in ("kind", "step")},
+            step,
+        )
 
     def close(self) -> None:
-        for f in (self._log_file, self._metrics_file):
+        for f in (self._log_file, self._metrics_file, self._tb):
             if f is not None:
                 f.close()
-        self._log_file = self._metrics_file = None
+        self._log_file = self._metrics_file = self._tb = None

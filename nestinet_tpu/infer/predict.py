@@ -54,14 +54,21 @@ def load_run(run_dir: str):
     the jitted serving programs, so reusing it across calls reuses the
     compiled executables."""
     rd = RunDir.open(run_dir)
+    path = os.path.abspath(run_dir)
     key = (
-        os.path.abspath(run_dir),
+        path,
         os.path.getmtime(rd.config_path),
         os.path.getmtime(rd.gmm_path),
     )
     hit = _RUN_CACHE.get(key)
     if hit is not None:
         return hit
+    # Evict stale entries for the same run dir: an updated config/gmm
+    # means the old model object (and its compiled serving programs)
+    # will never be used again — without eviction a long-lived server
+    # leaks one model per reload.
+    for stale in [k for k in _RUN_CACHE if k[0] == path]:
+        del _RUN_CACHE[stale]
     cfg = Config.load(rd.config_path)
     gmm = GridGMM.load(rd.gmm_path)
     model = build_model(cfg, gmm)
@@ -89,12 +96,32 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
     from ..train.mesh import replicated
     from ..train.train_step import make_optimizer
 
+    import json
+
+    # Key on the checkpoint's *content identity* — (step, epoch, file)
+    # from the meta JSON plus the blob's size and mtime — not on the
+    # meta file's mtime alone: coarse (1 s) filesystem mtime granularity
+    # would otherwise serve stale weights for a checkpoint overwritten
+    # within the same second.
     ckpt_meta = os.path.join(rd.ckpt_dir, ckpt_lib.META_NAME)
-    cache_key = (id(model), rd.ckpt_dir, os.path.getmtime(ckpt_meta),
-                 _mesh_key(mesh))
+    with open(ckpt_meta) as f:
+        meta = json.load(f)
+    blob = os.path.join(rd.ckpt_dir, meta["file"])
+    blob_stat = os.stat(blob)
+    prefix = (id(model), rd.ckpt_dir, _mesh_key(mesh))
+    cache_key = prefix + (
+        meta["step"], meta["epoch"], meta["file"],
+        blob_stat.st_size, blob_stat.st_mtime_ns,
+    )
     hit = _RESTORE_CACHE.get(cache_key)
     if hit is not None:
         return hit
+    # Evict entries for the same (model, ckpt_dir, mesh): each holds a
+    # full device-resident params+state copy (~GBs for the flagship);
+    # without eviction a server that reloads updated checkpoints leaks
+    # device memory per update until OOM.
+    for stale in [k for k in _RESTORE_CACHE if k[: len(prefix)] == prefix]:
+        del _RESTORE_CACHE[stale]
 
     rng = jax.random.PRNGKey(cfg.seed)
     batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
@@ -134,15 +161,18 @@ def predict_shapes(
     sparse_patches: bool = False,
     loader_workers: int = 8,
     output_dir: str | None = None,
-    moe_inference: str = "sparse",
+    moe_inference: str = "dense",
     data_parallel: int = 0,
 ) -> dict:
     """Run inference for every shape in `testset`; returns stats.
 
-    moe_inference: "sparse" routes each patch through MuPS + manager +
-    ONLY its argmax expert (host-side bucketing; ~3x fewer FLOPs, same
-    outputs); "dense" runs all experts like the reference
-    (`test_n_est_w_experts.py:148-152`).
+    moe_inference: "dense" (default) runs all experts in one compiled
+    program like the reference (`test_n_est_w_experts.py:148-152`) —
+    the measured-fastest mode on tunneled single-chip serving
+    (BENCH_r01: dense 1664 vs host-bucketed sparse 608 patches/s);
+    "sparse" routes each patch through MuPS + manager + ONLY its argmax
+    expert via on-device routing (~2.3x fewer FLOPs, same outputs) —
+    wins when compute dominates dispatch latency.
 
     data_parallel > 1 builds a data mesh and shards every batch's
     leading axis across it (params replicated); batch_size must divide

@@ -74,6 +74,17 @@ SW_BACKBONE = [
 ]
 
 
+# Single tiny inception block, substituted for EVERY backbone when
+# `cfg.tiny_backbone` is set (mesh/sharding dryruns and compile-bound
+# tests): model structure, gating, expert grouping and losses are
+# unchanged; only the conv depth/width shrinks so XLA:CPU codegen on
+# 1-core hosts stays in seconds.
+TINY = [
+    incep(8, (1, 2)),
+    maxpool(2, 2),
+]
+
+
 def expert_backbone_8g(first_width: int):
     """Expert body for 8^3 grids (`experts_n_est.py:249-273`).
 

@@ -73,7 +73,13 @@ class ExpertsNormEst(ModelBase):
         self.groups = [by_key[k] for k in sorted(by_key)]
 
         res = self.resolution
-        manager_spec = backbones.CONV_NET_8G if res == 8 else backbones.CONV_NET_3G
+        tiny = getattr(cfg, "tiny_backbone", False)
+        if tiny:
+            manager_spec = backbones.TINY
+        else:
+            manager_spec = (
+                backbones.CONV_NET_8G if res == 8 else backbones.CONV_NET_3G
+            )
         n_experts = self.n_experts
 
         def manager_fn(grid, is_training, bn_momentum):
@@ -89,7 +95,9 @@ class ExpertsNormEst(ModelBase):
         self._manager = hk.transform_with_state(manager_fn)
 
         def make_expert(n_scales: int):
-            if res == 8:
+            if tiny:
+                spec = backbones.TINY
+            elif res == 8:
                 spec = backbones.expert_backbone_8g(128 // n_scales)
             else:
                 # 3^3 experts ignore the capacity divider (`:274-275`).

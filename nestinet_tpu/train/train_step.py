@@ -52,6 +52,10 @@ def _startup_barrier(params, batch):
     # leaves reduce locally and add nothing.
     for leaf in jax.tree.leaves(params):
         total = total + jnp.sum(leaf.astype(jnp.float32))
+    # If any parameter leaf has gone non-finite, the sum would turn this
+    # "zero" into NaN and poison the batch, masking the true divergence
+    # site — clamp before scaling.
+    total = jnp.where(jnp.isfinite(total), total, jnp.float32(0.0))
     # A plain `* 0.0` would be constant-folded and the collectives
     # dead-code-eliminated; the optimization barrier pins the sums and
     # the 1e-38 scale is far below f32 resolution of any real
@@ -62,7 +66,10 @@ def _startup_barrier(params, batch):
 def make_train_step(model, cfg, tx):
     """Returns train_step(params, state, opt_state, rng, batch, step)."""
     bn_sched = bn_momentum_schedule(cfg)
-    cpu_backend = jax.default_backend() == "cpu"
+    # The barrier only matters for XLA:CPU's in-process collectives on
+    # virtual multi-device meshes; single-device steps have no
+    # rendezvous to protect and skip the full-params reduction.
+    cpu_backend = jax.default_backend() == "cpu" and len(jax.devices()) > 1
 
     def train_step(params, state, opt_state, rng, batch, step):
         if cpu_backend:

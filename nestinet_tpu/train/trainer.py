@@ -175,8 +175,15 @@ class Trainer:
                 loss_sum += float(pending_loss)
         mean_loss = loss_sum / max(n_batches, 1)
         self.rundir.log(f"epoch {epoch:4d} train mean loss: {mean_loss:.6f}")
+        # lr / bn_decay mirror the reference's TB scalar set
+        # (`train_n_est_w_experts.py:171-179`) — recomputed host-side
+        # from the same pure schedules the jitted step uses.
+        from .schedules import bn_momentum_schedule, learning_rate_schedule
+
         self.rundir.metrics(
             kind="train", epoch=epoch, step=self.step, loss=mean_loss,
+            lr=float(learning_rate_schedule(cfg)(self.step)),
+            bn_decay=float(bn_momentum_schedule(cfg)(self.step)),
             **{f"step_{k}": v for k, v in timer.summary().items()},
         )
         return mean_loss
@@ -234,6 +241,9 @@ class Trainer:
             opt_state=self.opt_state,
             step=self.step,
             epoch=epoch,
+            on_done=lambda e: self.rundir.log(
+                f"checkpoint write completed for epoch {e}"
+            ),
         )
         self.rundir.log(f"checkpoint dispatched at epoch {epoch}")
 
@@ -244,12 +254,18 @@ class Trainer:
         if self.params is None:
             sample = next(iter(train_loader))
             self.initialize(sample, resume=resume)
-        for epoch in range(self.start_epoch, max_epoch):
-            train_loader.dataset.set_epoch(epoch)
-            self.train_one_epoch(train_loader, epoch)
-            self.eval_one_epoch(val_loader, val_dataset, epoch)
-            if epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1:
-                self.save_checkpoint(epoch)
-        self._ckpt_writer.wait()  # the final write must land on disk
+        try:
+            for epoch in range(self.start_epoch, max_epoch):
+                train_loader.dataset.set_epoch(epoch)
+                self.train_one_epoch(train_loader, epoch)
+                self.eval_one_epoch(val_loader, val_dataset, epoch)
+                if epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1:
+                    self.save_checkpoint(epoch)
+        finally:
+            # The final (or in-flight) write must land on disk and any
+            # background write error must surface even if the loop
+            # raised — otherwise a mid-training exception silently
+            # loses the pending checkpoint.
+            self._ckpt_writer.wait()
         self.rundir.close()
         return self.params, self.state

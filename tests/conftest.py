@@ -27,9 +27,34 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache: the deep 3D-inception stacks take minutes
-# to compile on the CPU backend; cache hits make re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# to compile on the CPU backend; cache hits make re-runs fast.  Shares
+# the repo-local cache dir with bench.py / __graft_entry__.py so it
+# survives across rounds (gitignored).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# ---- two-tier suite (VERDICT r1 #8) ----
+# Modules whose tests compile full-backbone model graphs or run e2e
+# training loops: minutes each on a 1-core host.  They are auto-marked
+# `heavy` and deselected by the default `-m "not heavy"` addopts;
+# `pytest -m ""` runs everything, `pytest -m heavy` just this tier.
+_HEAVY_MODULES = {
+    "test_models",
+    "test_train_e2e",
+    "test_device_pipeline",
+    "test_sparse_moe_infer",
+    "test_serving_cache",
+    "test_bf16",
+    "test_scan",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _HEAVY_MODULES and "fast" not in item.keywords:
+            item.add_marker(pytest.mark.heavy)
 
 
 @pytest.fixture
