@@ -42,11 +42,13 @@ def main(argv=None):
     p.add_argument("--data_parallel", type=int, default=0,
                    help=">1 shards each batch over a data mesh of that "
                         "many devices (params replicated)")
-    p.add_argument("--moe_inference", type=str, default="sparse",
+    p.add_argument("--moe_inference", type=str, default="dense",
                    choices=["sparse", "dense"],
-                   help="sparse: route each patch through its argmax "
-                        "expert only (~3x fewer FLOPs, identical outputs); "
-                        "dense: run all experts like the reference")
+                   help="dense (default): all experts in one compiled "
+                        "program, fastest measured on tunneled single-chip "
+                        "serving; sparse: route each patch through its "
+                        "argmax expert only (~2.3x fewer FLOPs, identical "
+                        "outputs), wins when compute dominates dispatch")
     args = p.parse_args(argv)
 
     if args.extraction == "device":
