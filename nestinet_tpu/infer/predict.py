@@ -309,29 +309,61 @@ def _make_put(mesh):
 
 
 def _predict_sparse_moe(
-    model, params, state, loader, dataset, cfg, out_dir, batch_size, mesh=None
+    model, params, state, loader, dataset, cfg, out_dir, batch_size, mesh=None,
+    window_slots: int | None = None,
 ) -> dict:
-    """Argmax-only MoE inference with host-side expert bucketing.
+    """Argmax-only MoE inference with ON-DEVICE grid reuse (VERDICT r1 #4).
 
-    Two device programs instead of one monolith: (A) MuPS + manager over
-    the streaming batches; (B) MuPS + a single expert (per architecture
-    group, member index traced).  Patches are bucketed by winning expert
-    and flushed through (B) in full batches; results re-enter shape
-    order through a contiguous-prefix reorder buffer before hitting the
-    shape-scatter writer.  Outputs match the dense path.
+    Round-1's host-side bucketing re-uploaded the bucketed points and
+    recomputed MuPS per expert pass, which cost more than the skipped
+    expert FLOPs saved (sparse 608 vs dense 1664 patches/s).  Redesign:
+
+      * Program A (`manager_store`): MuPS grid -> manager probs; the
+        grid is parked in slot `i % W` of a device-resident FIFO buffer
+        `buf [W, B, r, r, r, C]` (donated, so the update is in-place).
+      * Host: fetch ONLY the [E, B] probs (one-deep pipeline), argmax,
+        and bucket flat FIFO indices per winning expert — no patch data
+        moves host->device again.
+      * Program B (`expert_on_buf`, one per architecture group): gather
+        the bucketed rows from the FIFO, dynamic-slice the group's MuPS
+        channels, run the single argmax expert -> normals [B, 3].
+
+    Each patch's grid is computed exactly once and each patch runs
+    through exactly one expert — FLOP-optimal routing with only index
+    uploads and tiny prob/normal fetches on the wire.  Buckets are
+    force-flushed (padded with index 0; outputs ignored) before their
+    FIFO slot is overwritten, bounding staleness to W batches.  Outputs
+    are bit-identical to the dense path: same grid numerics, same
+    expert math, same first-max argmax tie-breaking on the same f32
+    probabilities (`test_n_est_w_experts.py:148-152`).
     """
     import functools
 
     put = _make_put(mesh)
-    manager_fn = _serving_jit(
-        model, "manager", lambda: jax.jit(model.apply_manager)
-    )
+    res = model.resolution
+    grid_shape = (res, res, res, 20 * cfg.n_scales)
+    W = window_slots if window_slots else max(2, 2048 // batch_size)
+
+    def _make_manager_store():
+        def manager_store(params, state, batch, buf, slot):
+            grid = model._mups_grid(batch["points"], batch["n_eff"]).astype(
+                model.compute_dtype
+            )
+            probs = model.apply_manager_on_grid(params, state, grid)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, grid[None], slot, axis=0
+            )
+            return probs, buf
+
+        return jax.jit(manager_store, donate_argnums=(3,))
+
+    manager_fn = _serving_jit(model, "manager_store", _make_manager_store)
     expert_fns = {
         gi: _serving_jit(
             model,
-            f"expert_group_{gi}",
+            f"expert_on_buf_{gi}",
             lambda gi=gi: jax.jit(
-                functools.partial(model.apply_expert_member, group_index=gi)
+                functools.partial(_expert_on_buf, model, group_index=gi)
             ),
         )
         for gi in range(len(model.groups))
@@ -345,24 +377,29 @@ def _predict_sparse_moe(
 
     store: dict[int, tuple] = {}  # patch idx -> (normal, expert, probs)
     pending_normal: dict[int, int] = {}  # patch idx -> placeholder marker
-    buckets = {e: [] for e in range(model.n_experts)}  # [(idx, pts, n_eff)]
+    # bucket entry: (global patch idx, flat FIFO index, batch index)
+    buckets = {e: [] for e in range(model.n_experts)}
     emit_ptr = 0
     n_patches = 0
+    batch_i = 0  # batches dispatched through program A
+    forced_flushes = 0
 
     expert_pending: list[tuple[list[int], object]] = []
+    buf = jnp.zeros((W, batch_size) + grid_shape, model.compute_dtype)
+    buf = jax.block_until_ready(jax.device_put(buf))
 
     def run_bucket(e: int, entries):
+        nonlocal forced_flushes
         gi, member = table[e]
         idxs = [it[0] for it in entries]
-        pts = np.stack([it[1] for it in entries])
-        ne = np.stack([it[2] for it in entries])
+        flat = np.asarray([it[1] for it in entries], np.int32)
         if len(entries) < batch_size:
-            pad = batch_size - len(entries)
-            pts = np.concatenate([pts, np.zeros((pad,) + pts.shape[1:], pts.dtype)])
-            ne = np.concatenate([ne, np.zeros((pad,) + ne.shape[1:], ne.dtype)])
+            forced_flushes += 1
+            flat = np.concatenate(
+                [flat, np.zeros(batch_size - len(entries), np.int32)]
+            )
         normals_dev = expert_fns[gi](
-            params, state,
-            {"points": put(pts), "n_eff": put(ne)},
+            params, state, buf, jnp.asarray(flat),
             member=jnp.asarray(member, jnp.int32),
         )
         try:
@@ -397,6 +434,16 @@ def _predict_sparse_moe(
                 np.stack(chunk_p),
             )
 
+    def evict_slot(slot: int):
+        """Flush every bucket entry whose grid lives in `slot` BEFORE
+        program A overwrites it.  Entries are appended in batch order,
+        so slot-matching entries sit at each bucket's head."""
+        for e, entries in buckets.items():
+            while entries and entries[0][2] % W == slot:
+                chunk = [it for it in entries if it[2] % W == slot]
+                run_bucket(e, chunk[:batch_size])
+                del entries[: len(chunk[:batch_size])]
+
     # The remote-TPU relay downloads at ~1.5 MB/s with a ~24 ms
     # round-trip floor while uploads run at ~1 GB/s, so every
     # synchronous fetch is a stall.  Both passes run one batch deep:
@@ -405,7 +452,7 @@ def _predict_sparse_moe(
     # device->host copy asynchronously and are materialized later.
     def process_manager(pending):
         nonlocal n_patches
-        hbatch, real, probs_dev = pending
+        b_idx, real, probs_dev = pending
         probs = np.asarray(probs_dev)  # [E, batch]
         experts = np.argmax(probs[:, :real], axis=0)
         for r in range(real):
@@ -413,7 +460,7 @@ def _predict_sparse_moe(
             store[idx] = (int(experts[r]), probs[:, r])
             pending_normal[idx] = 1
             buckets[int(experts[r])].append(
-                (idx, hbatch["points"][r], hbatch["n_eff"][r])
+                (idx, (b_idx % W) * batch_size + r, b_idx)
             )
         n_patches += real
         for e, entries in buckets.items():
@@ -427,12 +474,16 @@ def _predict_sparse_moe(
     for batch in loader:
         real = batch["points"].shape[0]
         padded = _pad_batch(batch, batch_size)
-        probs_dev = manager_fn(
+        if batch_i >= W:
+            evict_slot(batch_i % W)
+        probs_dev, buf = manager_fn(
             params, state,
             {
                 "points": put(padded["points"]),
                 "n_eff": put(padded["n_eff"]),
             },
+            buf,
+            jnp.asarray(batch_i % W, jnp.int32),
         )
         try:
             probs_dev.copy_to_host_async()
@@ -440,13 +491,14 @@ def _predict_sparse_moe(
             pass
         if manager_pending is not None:
             process_manager(manager_pending)
-        manager_pending = (batch, real, probs_dev)
+        manager_pending = (batch_i, real, probs_dev)
+        batch_i += 1
     if manager_pending is not None:
         process_manager(manager_pending)
     for e, entries in buckets.items():  # flush partial buckets
-        if entries:
-            run_bucket(e, entries)
-            entries.clear()
+        while entries:
+            run_bucket(e, entries[:batch_size])
+            del entries[:batch_size]
     drain_expert_pending(0)
     emit()
     elapsed = time.perf_counter() - t0
@@ -458,7 +510,19 @@ def _predict_sparse_moe(
         "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
         "shapes": writer.written,
         "output_dir": out_dir,
+        "forced_flushes": forced_flushes,
+        "window_slots": W,
     }
+
+
+def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):
+    """Program B: gather bucketed grid rows from the FIFO buffer and run
+    one expert (member traced, group static) -> normals [B, 3]."""
+    flat = buf.reshape((-1,) + buf.shape[2:])
+    g = jnp.take(flat, flat_idx, axis=0)
+    return model.apply_expert_member_on_grid(
+        params, state, g, group_index, member
+    )
 
 
 def _pad_batch(batch: dict, batch_size: int) -> dict:

@@ -196,10 +196,35 @@ class ExpertsNormEst(ModelBase):
         """MuPS + one expert of group `group_index` (static), selected by
         the traced index `member` into the group's stacked parameters
         (eval mode) -> normals [B, 3]."""
-        group = self.groups[group_index]
         grid = self._mups_grid(batch["points"], batch["n_eff"]).astype(
             self.compute_dtype
         )
+        return self.apply_expert_member_on_grid(
+            params, state, grid, group_index, member
+        )
+
+    # ---- grid-resident variants (on-device routed serving) ----
+    #
+    # The routed serving pipeline computes the MuPS grid ONCE per patch
+    # (program A: grid -> manager probs, grid parked in a device-side
+    # FIFO) and then runs each patch through exactly one expert reading
+    # the parked grid (program B) — eliminating the per-bucket MuPS
+    # recompute and point re-upload of host-side bucketing.  Numerics
+    # are identical to the dense path: same grid values, same expert
+    # math, same argmax routing.
+
+    def apply_manager_on_grid(self, params, state, grid):
+        """Manager CNN on a precomputed MuPS grid -> probs [E, B]."""
+        probs, _ = self._manager.apply(
+            params["manager"], state["manager"], None, grid, False, 0.0
+        )
+        return probs
+
+    def apply_expert_member_on_grid(self, params, state, grid,
+                                    group_index: int, member):
+        """One expert of group `group_index` (static), member traced,
+        on a precomputed MuPS grid -> normals [B, 3]."""
+        group = self.groups[group_index]
         start = jnp.asarray(group.starts, jnp.int32)[member]
         x = jax.lax.dynamic_slice_in_dim(grid, start, group.channels, axis=-1)
         pick = lambda a: jax.lax.dynamic_index_in_dim(a, member, 0, keepdims=False)
