@@ -239,15 +239,26 @@ def main():
         run_path = build_run(root)
         mark("run dir built (jitted init + checkpoint)")
 
-        # TPU-native execution, both serving modes (threaded extraction +
-        # one-deep host/device pipelines).  Sparse routing wins where
-        # compute dominates dispatch (real attached TPUs); the pipelined
-        # dense monolith can win on high-latency tunneled chips.  The
-        # framework serves whichever is faster.
+        # TPU-native execution across serving modes x compute dtypes
+        # (threaded extraction + one-deep host/device pipelines).
+        # Routed sparse (grid FIFO + on-device bucketed expert runs,
+        # infer/predict.py:_predict_sparse_moe) is the measured winner
+        # in both dtypes since round 2; dense and the fused on-device-
+        # extraction pipeline are measured alongside for the record.
+        # bfloat16 serves the same float32 checkpoint (master weights
+        # stay f32; QUALITY.md pins the RMS delta vs f32).
         from nestinet_tpu.infer.device_pipeline import predict_shapes_device
 
         rates = {}
-        for mode in ("device", "sparse", "dense"):
+        sweep = [
+            ("sparse", "bfloat16"),
+            ("dense", "bfloat16"),
+            ("sparse", "float32"),
+            ("dense", "float32"),
+            ("device", None),
+        ]
+        for mode, dtype in sweep:
+            name = f"{mode}_{dtype or 'cfg'}"
             if mode == "device":
                 # upload the cloud once; ball query + MuPS + CNN fused
                 # into one program per batch (ops/ball_query.py)
@@ -257,16 +268,16 @@ def main():
                         data_path=root, batch_size=BATCH,
                     )
             else:
-                def run(tag, _m=mode):
+                def run(tag, _m=mode, _d=dtype):
                     return predict_shapes(
                         run_path, dataset_name=tag, testset="benchset.txt",
                         data_path=root, batch_size=BATCH, loader_workers=8,
-                        moe_inference=_m,
+                        moe_inference=_m, compute_dtype=_d,
                     )
-            run(f"warm_{mode}")
-            mark(f"{mode} warmup done (programs compiled)")
-            rates[mode] = run(f"bench_{mode}")["patches_per_sec"]
-            mark(f"{mode} inference: {rates[mode]:.1f} patches/s")
+            run(f"warm_{name}")
+            mark(f"{name} warmup done (programs compiled)")
+            rates[name] = run(f"bench_{name}")["patches_per_sec"]
+            mark(f"{name} inference: {rates[name]:.1f} patches/s")
         ours = max(rates.values())
 
         ref_rate = reference_style_rate(run_path, root)

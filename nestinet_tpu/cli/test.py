@@ -42,13 +42,18 @@ def main(argv=None):
     p.add_argument("--data_parallel", type=int, default=0,
                    help=">1 shards each batch over a data mesh of that "
                         "many devices (params replicated)")
-    p.add_argument("--moe_inference", type=str, default="dense",
+    p.add_argument("--moe_inference", type=str, default="sparse",
                    choices=["sparse", "dense"],
-                   help="dense (default): all experts in one compiled "
-                        "program, fastest measured on tunneled single-chip "
-                        "serving; sparse: route each patch through its "
-                        "argmax expert only (~2.3x fewer FLOPs, identical "
-                        "outputs), wins when compute dominates dispatch")
+                   help="sparse (default): route each patch through its "
+                        "argmax expert only via the on-device grid FIFO "
+                        "(~2.3x fewer FLOPs, fastest measured mode); "
+                        "dense: all experts in one compiled program, "
+                        "identical outputs (reference execution design)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="override the CNN compute dtype for serving "
+                        "(params stay float32; bfloat16 is the fastest "
+                        "measured serving dtype)")
     args = p.parse_args(argv)
 
     if args.extraction == "device":
@@ -76,6 +81,7 @@ def main(argv=None):
         loader_workers=args.loader_workers,
         moe_inference=args.moe_inference,
         data_parallel=args.data_parallel,
+        compute_dtype=args.compute_dtype,
     )
     print(json.dumps({k: v for k, v in stats.items() if k != "shapes"}, indent=2))
 

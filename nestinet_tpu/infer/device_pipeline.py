@@ -89,6 +89,7 @@ def predict_shapes_device(
     loader_workers: int = 0,  # unused; kept for signature parity
     output_dir: str | None = None,
     seed: int = 3627473,
+    compute_dtype: str | None = None,
 ) -> dict:
     """Streaming inference with on-device patch extraction.
 
@@ -97,7 +98,7 @@ def predict_shapes_device(
     files.
     """
     del loader_workers
-    rd, cfg, gmm, model = load_run(run_dir)
+    rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
 

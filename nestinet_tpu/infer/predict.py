@@ -47,30 +47,42 @@ def _mesh_key(mesh):
     )
 
 
-def load_run(run_dir: str):
+def load_run(run_dir: str, compute_dtype: str | None = None):
     """(cfg, gmm, model, params, state) from a run directory.
 
-    Cached per (path, config/gmm mtime): the returned model object owns
-    the jitted serving programs, so reusing it across calls reuses the
-    compiled executables."""
+    Cached per (path, config/gmm mtime, dtype override): the returned
+    model object owns the jitted serving programs, so reusing it across
+    calls reuses the compiled executables.
+
+    `compute_dtype` overrides the training config's CNN compute dtype
+    for serving only — parameters are stored in float32 regardless of
+    compute dtype (mixed precision, `ops/nn.py`), so one checkpoint can
+    be served at float32 or bfloat16 without conversion."""
     rd = RunDir.open(run_dir)
     path = os.path.abspath(run_dir)
     key = (
         path,
         os.path.getmtime(rd.config_path),
         os.path.getmtime(rd.gmm_path),
+        compute_dtype,
     )
     hit = _RUN_CACHE.get(key)
     if hit is not None:
         return hit
-    # Evict stale entries for the same run dir: an updated config/gmm
-    # means the old model object (and its compiled serving programs)
-    # will never be used again — without eviction a long-lived server
-    # leaks one model per reload.
-    for stale in [k for k in _RUN_CACHE if k[0] == path]:
+    # Evict stale entries for the same run dir + dtype: an updated
+    # config/gmm means the old model object (and its compiled serving
+    # programs) will never be used again — without eviction a
+    # long-lived server leaks one model per reload.
+    for stale in [
+        k for k in _RUN_CACHE if k[0] == path and k[3] == compute_dtype
+    ]:
         del _RUN_CACHE[stale]
     cfg = Config.load(rd.config_path)
     gmm = GridGMM.load(rd.gmm_path)
+    if compute_dtype is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     model = build_model(cfg, gmm)
     _RUN_CACHE[key] = (rd, cfg, gmm, model)
     return _RUN_CACHE[key]
@@ -161,24 +173,28 @@ def predict_shapes(
     sparse_patches: bool = False,
     loader_workers: int = 8,
     output_dir: str | None = None,
-    moe_inference: str = "dense",
+    moe_inference: str = "sparse",
     data_parallel: int = 0,
+    compute_dtype: str | None = None,
 ) -> dict:
     """Run inference for every shape in `testset`; returns stats.
 
-    moe_inference: "dense" (default) runs all experts in one compiled
-    program like the reference (`test_n_est_w_experts.py:148-152`) —
-    the measured-fastest mode on tunneled single-chip serving
-    (BENCH_r01: dense 1664 vs host-bucketed sparse 608 patches/s);
-    "sparse" routes each patch through MuPS + manager + ONLY its argmax
-    expert via on-device routing (~2.3x fewer FLOPs, same outputs) —
-    wins when compute dominates dispatch latency.
+    moe_inference: "sparse" (default) routes each patch through MuPS +
+    manager + ONLY its argmax expert via on-device routing (~2.3x fewer
+    FLOPs, same outputs) — the measured-fastest mode in both dtypes now
+    that the grid FIFO keeps routing on device (r2: sparse 2019 vs
+    dense 1646 patches/s at f32; 2826 vs 1895 at bf16, B=256).
+    "dense" runs all experts in one compiled program like the reference
+    (`test_n_est_w_experts.py:148-152`).
 
     data_parallel > 1 builds a data mesh and shards every batch's
     leading axis across it (params replicated); batch_size must divide
     by it.
+
+    compute_dtype overrides the CNN compute dtype for this serving pass
+    ("bfloat16" serves a float32 checkpoint in mixed precision).
     """
-    rd, cfg, gmm, model = load_run(run_dir)
+    rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
 
@@ -342,7 +358,11 @@ def _predict_sparse_moe(
     put = _make_put(mesh)
     res = model.resolution
     grid_shape = (res, res, res, 20 * cfg.n_scales)
-    W = window_slots if window_slots else max(2, 2048 // batch_size)
+    # ~8k parked grids: large enough that 256-patch buckets fill before
+    # eviction for 7 experts (73 forced flushes -> 2 on the bench set;
+    # 2603 -> 2826 patches/s), small enough that the donated FIFO stays
+    # ~250 MB at bf16 (64 slots x 256 measured SLOWER - HBM pressure).
+    W = window_slots if window_slots else max(2, 8192 // batch_size)
 
     def _make_manager_store():
         def manager_store(params, state, batch, buf, slot):
@@ -517,10 +537,33 @@ def _predict_sparse_moe(
 
 def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):
     """Program B: gather bucketed grid rows from the FIFO buffer and run
-    one expert (member traced, group static) -> normals [B, 3]."""
+    one expert (member traced, group static) -> normals [B, 3].
+
+    The gather runs in row chunks: one fused gather of B full grid rows
+    (B=256 x 122 KB = 30 MB at f32) exceeds the TPU's 16 MB scoped-VMEM
+    staging limit, so rows are taken <=64 at a time and the group's
+    channel slice is applied per chunk before concatenation."""
     flat = buf.reshape((-1,) + buf.shape[2:])
-    g = jnp.take(flat, flat_idx, axis=0)
-    return model.apply_expert_member_on_grid(
+    group = model.groups[group_index]
+    start = jnp.asarray(group.starts, jnp.int32)[member]
+    n = flat_idx.shape[0]
+    # 64 rows x 122 KB (f32 grid row) = 7.8 MB per staged gather; 2-byte
+    # dtypes can take 128 rows within the same budget.
+    chunk = 128 if buf.dtype.itemsize <= 2 else 64
+    if n % chunk:  # static batch sizes not divisible by the chunk
+        lim = chunk
+        chunk = 1
+        while 2 * chunk <= lim and n % (2 * chunk) == 0:
+            chunk *= 2
+    idx_blocks = flat_idx.reshape(n // chunk, chunk)
+
+    def take_block(idx):
+        rows = jnp.take(flat, idx, axis=0)
+        return jax.lax.dynamic_slice_in_dim(rows, start, group.channels, axis=-1)
+
+    g = jax.lax.map(take_block, idx_blocks)
+    g = g.reshape((n,) + g.shape[2:])
+    return model.apply_expert_member_on_grid_sliced(
         params, state, g, group_index, member
     )
 

@@ -227,6 +227,16 @@ class ExpertsNormEst(ModelBase):
         group = self.groups[group_index]
         start = jnp.asarray(group.starts, jnp.int32)[member]
         x = jax.lax.dynamic_slice_in_dim(grid, start, group.channels, axis=-1)
+        return self.apply_expert_member_on_grid_sliced(
+            params, state, x, group_index, member
+        )
+
+    def apply_expert_member_on_grid_sliced(self, params, state, x,
+                                           group_index: int, member):
+        """Same, but `x` is already the group's channel slice
+        [..., 20 * n_scales] (routed serving slices per gather chunk to
+        stay under the scoped-VMEM staging limit)."""
+        group = self.groups[group_index]
         pick = lambda a: jax.lax.dynamic_index_in_dim(a, member, 0, keepdims=False)
         p = jax.tree.map(pick, params[f"group{group_index}"])
         s = jax.tree.map(pick, state[f"group{group_index}"])
