@@ -489,8 +489,16 @@ def _predict_sparse_moe(
                 del entries[:batch_size]
         emit()
 
+    # Manager results are consumed DEPTH batches behind dispatch, so by
+    # the time probs[i] is materialized on host its device->host copy
+    # (~30 ms relay round trip) has fully overlapped the compute of
+    # batches i+1..i+DEPTH; one-deep (round 1) still exposed most of the
+    # round trip because fetch(i) only overlapped dispatch(i+1).  DEPTH
+    # must stay <= W-2 so bucket entries exist before their slot is
+    # evicted; 3 covers the relay RTT at measured compute times.
+    depth = min(3, W - 2) if W > 2 else 1
     t0 = time.perf_counter()
-    manager_pending = None
+    manager_queue: list[tuple] = []
     for batch in loader:
         real = batch["points"].shape[0]
         padded = _pad_batch(batch, batch_size)
@@ -509,12 +517,12 @@ def _predict_sparse_moe(
             probs_dev.copy_to_host_async()
         except Exception:
             pass
-        if manager_pending is not None:
-            process_manager(manager_pending)
-        manager_pending = (batch_i, real, probs_dev)
+        manager_queue.append((batch_i, real, probs_dev))
+        while len(manager_queue) > depth:
+            process_manager(manager_queue.pop(0))
         batch_i += 1
-    if manager_pending is not None:
-        process_manager(manager_pending)
+    while manager_queue:
+        process_manager(manager_queue.pop(0))
     for e, entries in buckets.items():  # flush partial buckets
         while entries:
             run_bucket(e, entries[:batch_size])
