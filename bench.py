@@ -92,13 +92,59 @@ def reference_proxy_rate(root) -> float:
 
 
 BENCH_CACHE = "/root/repo/.bench_cache"
+TRAINED_RUN_ENV = "NESTINET_BENCH_RUN"
+TRAINED_RUN_DEFAULT = "/root/repo/log/moe_synth"
+
+
+def _find_trained_run() -> str | None:
+    """A TRAINED flagship checkpoint, if one matches the bench protocol.
+
+    BASELINE.json defines the metric as points/sec *at RMS parity*, so
+    the bench prefers real trained weights (quality pinned in
+    QUALITY.md) over random init whenever a compatible run exists —
+    $NESTINET_BENCH_RUN first, then the default quality-training run
+    dir (checking numbered collision subdirs, newest first).
+    """
+    cands = []
+    env = os.environ.get(TRAINED_RUN_ENV)
+    if env:
+        cands.append(env)
+    base = TRAINED_RUN_DEFAULT
+    if os.path.isdir(base):
+        subs = sorted(
+            (d for d in os.listdir(base) if d.isdigit()), key=int, reverse=True
+        )
+        cands.extend(os.path.join(base, d) for d in subs)
+        cands.append(base)
+    for cand in cands:
+        if not os.path.exists(os.path.join(cand, "ckpt", "model.msgpack")):
+            continue
+        try:
+            with open(os.path.join(cand, "config.json")) as f:
+                c = json.load(f)
+        except OSError:
+            continue
+        if (
+            c.get("model") == "experts_n_est"
+            and tuple(c.get("patch_radius", ())) == RADII
+            and c.get("num_point") == NUM_POINT
+            and c.get("num_gaussians") == 8
+        ):
+            return cand
+    return None
 
 
 def build_run(root) -> str:
-    """Create (or reuse) a run dir with randomly-initialized flagship
-    weights.  Serializing the 178M-param checkpoint costs minutes, so
-    the run dir is cached under BENCH_CACHE keyed by the bench config;
-    delete the directory to force a rebuild."""
+    """Return the run dir to benchmark: a trained flagship run when one
+    matches the protocol (see _find_trained_run), else a cached
+    randomly-initialized run.  Serializing the 178M-param checkpoint
+    costs minutes, so the random-init run dir is cached under
+    BENCH_CACHE keyed by the bench config; delete it to force a
+    rebuild."""
+    trained = _find_trained_run()
+    if trained is not None:
+        print(f"[bench] using TRAINED checkpoint: {trained}", file=sys.stderr)
+        return trained
     key = f"b{BATCH}_n{NUM_POINT}_r{'-'.join(str(r) for r in RADII)}"
     cached = os.path.join(BENCH_CACHE, key)
     if os.path.exists(os.path.join(cached, "ckpt", "model.msgpack")):
