@@ -19,12 +19,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from ..core.platform import apply_platform_env
 
 apply_platform_env()
 
+from ..core import checkpoint as ckpt_lib  # noqa: E402
 from ..core.config import Config  # noqa: E402
+from ..core.rundir import RunDir  # noqa: E402
 from ..train.trainer import Trainer  # noqa: E402
 
 
@@ -127,7 +130,15 @@ def main(argv=None):
     cfg = config_from_args(args)
     if args.model == "ms_sw_n_est" and "noise" not in cfg.outputs:
         cfg.outputs = tuple(cfg.outputs) + ("noise",)
-    trainer = Trainer(cfg, loader_workers=args.loader_workers)
+    # --resume must re-open an existing run dir: Trainer's default is
+    # RunDir.create, which auto-numbers on collision (log_dir/1, /2, ...)
+    # and would silently start a FRESH run next to the checkpoint it was
+    # asked to resume.  Re-open iff the target dir already holds a
+    # checkpoint; otherwise fall through to collision-safe creation.
+    run_dir = None
+    if args.resume and ckpt_lib.exists(os.path.join(args.log_dir, "ckpt")):
+        run_dir = RunDir.open(args.log_dir)
+    trainer = Trainer(cfg, run_dir=run_dir, loader_workers=args.loader_workers)
     trainer.fit(resume=bool(args.resume))
 
 

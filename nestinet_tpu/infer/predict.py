@@ -9,6 +9,7 @@ static batch size, and scatter outputs into `<shape>.normals`
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -35,6 +36,44 @@ from .writer import ShapeScatterWriter
 # updated run dir or checkpoint invalidates naturally.
 _RUN_CACHE: dict = {}
 _RESTORE_CACHE: dict = {}
+
+
+class _PhaseTimer:
+    """Opt-in host-side phase accounting for the serving loops
+    (`NESTINET_SERVING_TRACE=1`): accumulates wall time per named phase
+    so the per-batch budget — program dispatch vs device->host
+    materialization vs host bookkeeping — is measured on the *real*
+    serving path rather than a synthetic probe.  Near-zero overhead when
+    disabled (a single attribute check per phase)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def __call__(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] = self.totals.get(name, 0.0) + (
+                time.perf_counter() - t0
+            )
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self, n_batches: int) -> dict:
+        return {
+            "phases_ms_total": {k: round(v * 1e3, 2) for k, v in self.totals.items()},
+            "phases_ms_per_batch": {
+                k: round(v * 1e3 / max(n_batches, 1), 3)
+                for k, v in self.totals.items()
+            },
+            "phase_counts": dict(self.counts),
+        }
 
 
 def _mesh_key(mesh):
@@ -176,6 +215,7 @@ def predict_shapes(
     moe_inference: str = "sparse",
     data_parallel: int = 0,
     compute_dtype: str | None = None,
+    sparse_window_slots: int | None = None,
 ) -> dict:
     """Run inference for every shape in `testset`; returns stats.
 
@@ -233,7 +273,7 @@ def predict_shapes(
     if is_moe and moe_inference == "sparse":
         return _predict_sparse_moe(
             model, params, state, loader, dataset, cfg, out_dir, batch_size,
-            mesh=mesh,
+            mesh=mesh, window_slots=sparse_window_slots,
         )
 
     def _make_fwd():
@@ -280,37 +320,52 @@ def predict_shapes(
     # i+1 and the writer scatters i-1 (the reference ran these three
     # strictly serially each step, `test_n_est_w_experts.py:129-197`).
     n_patches = 0
+    n_batches = 0
     pending = None
+    trace = _PhaseTimer(os.environ.get("NESTINET_SERVING_TRACE") == "1")
     t0 = time.perf_counter()
     put = _make_put(mesh)
-    for batch in loader:
+    _end = object()
+    batch_iter = iter(loader)
+    while True:
+        with trace("loader_wait"):
+            batch = next(batch_iter, _end)
+        if batch is _end:
+            break
         real = batch["points"].shape[0]
         batch = _pad_batch(batch, batch_size)
-        device_batch = {
-            "points": put(batch["points"]),
-            "n_eff": put(batch["n_eff"]),
-        }
-        outs = fwd(params, state, device_batch)
+        with trace("upload"):
+            device_batch = {
+                "points": put(batch["points"]),
+                "n_eff": put(batch["n_eff"]),
+            }
+        with trace("fwd_dispatch"):
+            outs = fwd(params, state, device_batch)
         try:  # start the device->host copy behind the next dispatch
             outs.copy_to_host_async()
         except Exception:
             pass
         if pending is not None:
-            _drain(pending)
+            with trace("drain"):
+                _drain(pending)
         pending = (real, outs)
         n_patches += real
+        n_batches += 1
     if pending is not None:
         _drain(pending)
     elapsed = time.perf_counter() - t0
 
     assert writer.done, "writer did not consume all shapes"
-    return {
+    stats = {
         "n_patches": n_patches,
         "seconds": elapsed,
         "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
         "shapes": writer.written,
         "output_dir": out_dir,
     }
+    if trace.enabled:
+        stats.update(trace.report(n_batches))
+    return stats
 
 
 def _make_put(mesh):
@@ -356,6 +411,7 @@ def _predict_sparse_moe(
     import functools
 
     put = _make_put(mesh)
+    trace = _PhaseTimer(os.environ.get("NESTINET_SERVING_TRACE") == "1")
     res = model.resolution
     grid_shape = (res, res, res, 20 * cfg.n_scales)
     # ~8k parked grids: large enough that 256-patch buckets fill before
@@ -418,10 +474,11 @@ def _predict_sparse_moe(
             flat = np.concatenate(
                 [flat, np.zeros(batch_size - len(entries), np.int32)]
             )
-        normals_dev = expert_fns[gi](
-            params, state, buf, jnp.asarray(flat),
-            member=jnp.asarray(member, jnp.int32),
-        )
+        with trace("expert_dispatch"):
+            normals_dev = expert_fns[gi](
+                params, state, buf, jnp.asarray(flat),
+                member=jnp.asarray(member, jnp.int32),
+            )
         try:
             normals_dev.copy_to_host_async()
         except Exception:
@@ -432,7 +489,8 @@ def _predict_sparse_moe(
     def drain_expert_pending(max_left: int):
         while len(expert_pending) > max_left:
             idxs, dev = expert_pending.pop(0)
-            normals = np.asarray(dev)
+            with trace("normals_materialize"):
+                normals = np.asarray(dev)
             for k, idx in enumerate(idxs):
                 e_id, probs_row = store[idx]
                 store[idx] = (normals[k], e_id, probs_row)
@@ -448,11 +506,12 @@ def _predict_sparse_moe(
             chunk_p.append(probs_row)
             emit_ptr += 1
         if chunk_n:
-            writer.append(
-                np.stack(chunk_n),
-                np.asarray(chunk_e, np.int64),
-                np.stack(chunk_p),
-            )
+            with trace("emit_write"):
+                writer.append(
+                    np.stack(chunk_n),
+                    np.asarray(chunk_e, np.int64),
+                    np.stack(chunk_p),
+                )
 
     def evict_slot(slot: int):
         """Flush every bucket entry whose grid lives in `slot` BEFORE
@@ -473,7 +532,8 @@ def _predict_sparse_moe(
     def process_manager(pending):
         nonlocal n_patches
         b_idx, real, probs_dev = pending
-        probs = np.asarray(probs_dev)  # [E, batch]
+        with trace("probs_materialize"):
+            probs = np.asarray(probs_dev)  # [E, batch]
         experts = np.argmax(probs[:, :real], axis=0)
         for r in range(real):
             idx = n_patches + r
@@ -499,20 +559,28 @@ def _predict_sparse_moe(
     depth = min(3, W - 2) if W > 2 else 1
     t0 = time.perf_counter()
     manager_queue: list[tuple] = []
-    for batch in loader:
+    _end = object()
+    batch_iter = iter(loader)
+    while True:
+        with trace("loader_wait"):
+            batch = next(batch_iter, _end)
+        if batch is _end:
+            break
         real = batch["points"].shape[0]
         padded = _pad_batch(batch, batch_size)
         if batch_i >= W:
-            evict_slot(batch_i % W)
-        probs_dev, buf = manager_fn(
-            params, state,
-            {
+            with trace("evict"):
+                evict_slot(batch_i % W)
+        with trace("upload"):
+            dev_batch = {
                 "points": put(padded["points"]),
                 "n_eff": put(padded["n_eff"]),
-            },
-            buf,
-            jnp.asarray(batch_i % W, jnp.int32),
-        )
+            }
+        with trace("manager_dispatch"):
+            probs_dev, buf = manager_fn(
+                params, state, dev_batch, buf,
+                jnp.asarray(batch_i % W, jnp.int32),
+            )
         try:
             probs_dev.copy_to_host_async()
         except Exception:
@@ -532,7 +600,7 @@ def _predict_sparse_moe(
     elapsed = time.perf_counter() - t0
 
     assert writer.done, "writer did not consume all shapes"
-    return {
+    stats = {
         "n_patches": n_patches,
         "seconds": elapsed,
         "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
@@ -541,6 +609,11 @@ def _predict_sparse_moe(
         "forced_flushes": forced_flushes,
         "window_slots": W,
     }
+    if trace.enabled:
+        # note: `evict` nests the expert dispatches it forces, so phase
+        # totals can sum past wall time; read leaves first.
+        stats.update(trace.report(batch_i))
+    return stats
 
 
 def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):

@@ -97,6 +97,32 @@ def test_sparse_handles_partial_buckets(moe_run):
     assert n.shape == (300, 3) and np.isfinite(n).all()
 
 
+def test_sparse_small_window_matches_dense(moe_run):
+    """A tiny FIFO window (W=4) forces slot evictions to interleave
+    with the lagged (depth-behind-dispatch) manager queue: 75 batches
+    cycle the 4 slots many times, and every grid must still route
+    through its own expert before its slot is overwritten."""
+    root, run_path = moe_run
+    common = dict(testset="mini.txt", data_path=root, batch_size=8,
+                  loader_workers=2)
+    dense = predict_shapes(run_path, dataset_name="dense_w",
+                           moe_inference="dense", **common)
+    sparse = predict_shapes(run_path, dataset_name="sparse_w4",
+                            moe_inference="sparse",
+                            sparse_window_slots=4, **common)
+    assert sparse["window_slots"] == 4
+    assert sparse["n_patches"] == 600
+    for shape in ("a", "b"):
+        d = np.loadtxt(os.path.join(dense["output_dir"], shape + ".experts"))
+        s = np.loadtxt(os.path.join(sparse["output_dir"], shape + ".experts"))
+        np.testing.assert_array_equal(s, d)
+        dn = np.loadtxt(os.path.join(dense["output_dir"], shape + ".normals"))
+        sn = np.loadtxt(os.path.join(sparse["output_dir"], shape + ".normals"))
+        dn = dn / np.linalg.norm(dn, axis=1, keepdims=True)
+        sn = sn / np.linalg.norm(sn, axis=1, keepdims=True)
+        np.testing.assert_allclose(sn, dn, atol=2e-4)
+
+
 def test_multidevice_inference_matches_single(moe_run):
     """Batch-axis data-parallel inference over the 8-device CPU mesh
     produces the same results files as single-device."""

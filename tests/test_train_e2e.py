@@ -255,3 +255,45 @@ def test_switching_train_step(tiny_dataset, rng):
                             shard_batch(batch_np, mesh),
                             jnp.asarray(0, jnp.int32))
     assert np.isfinite(float(loss))
+
+
+def test_cli_train_resumes_in_place(tiny_dataset, tmp_path):
+    """`cli.train --resume 1` on an existing run dir must continue THAT
+    run: RunDir.create auto-numbers on collision, so without the CLI's
+    re-open branch a second invocation silently trained a fresh model in
+    `<log_dir>/1` while the checkpoint it was asked to resume sat
+    untouched (hit live: the round-2 quality training restart)."""
+    from nestinet_tpu.cli.train import main as train_main
+
+    log_dir = str(tmp_path / "cli_run")
+    argv = [
+        "--model", "ss_norm_est",
+        "--data_path", tiny_dataset,
+        "--log_dir", log_dir,
+        "--trainset", "trainingset.txt",
+        "--testset", "trainingset.txt",
+        "--patch_radius", "0.3",
+        "--num_point", "24",
+        "--patches_per_shape", "16",
+        "--num_gaussians", "3",
+        "--gmm_variance", "0.111",
+        "--batch_size", "8",
+        "--learning_rate", "1e-3",
+        "--checkpoint_every", "1",
+        "--identical_epochs", "1",
+        "--loader_workers", "2",
+    ]
+    train_main(argv + ["--max_epoch", "1"])
+    meta = os.path.join(log_dir, "ckpt", "model.meta.json")
+    assert os.path.exists(meta)
+
+    train_main(argv + ["--max_epoch", "2"])
+    # resumed in place: no collision-numbered sibling run dir...
+    assert not os.path.exists(os.path.join(log_dir, "1"))
+    with open(os.path.join(log_dir, "log_train.txt")) as f:
+        log = f.read()
+    # ...and the second invocation restored epoch 0's checkpoint.
+    assert "resumed from epoch 0" in log
+    import json as _json
+    with open(meta) as f:
+        assert _json.load(f)["epoch"] == 1
