@@ -297,21 +297,26 @@ def main():
 
         rates = {}
         sweep = [
+            # device_sparse: cloud uploaded once, ball query + MuPS +
+            # manager fused into program A, argmax expert via the
+            # routing FIFO — removes both the 1-core host extraction
+            # ceiling (~3k patches/s) and the 6 skipped experts.
+            ("device_sparse", "bfloat16"),
             ("sparse", "bfloat16"),
             ("dense", "bfloat16"),
+            ("device_dense", "bfloat16"),
             ("sparse", "float32"),
-            ("dense", "float32"),
-            ("device", None),
         ]
         for mode, dtype in sweep:
             name = f"{mode}_{dtype or 'cfg'}"
-            if mode == "device":
+            if mode.startswith("device"):
                 # upload the cloud once; ball query + MuPS + CNN fused
                 # into one program per batch (ops/ball_query.py)
-                def run(tag):
+                def run(tag, _m=mode.split("_", 1)[1], _d=dtype):
                     return predict_shapes_device(
                         run_path, dataset_name=tag, testset="benchset.txt",
                         data_path=root, batch_size=BATCH,
+                        moe_inference=_m, compute_dtype=_d,
                     )
             else:
                 def run(tag, _m=mode, _d=dtype):

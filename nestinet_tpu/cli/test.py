@@ -65,6 +65,8 @@ def main(argv=None):
             testset=args.testset,
             data_path=args.dataset_path,
             batch_size=args.batch_size,
+            compute_dtype=args.compute_dtype,
+            moe_inference=args.moe_inference,
         )
         print(json.dumps(
             {k: v for k, v in stats.items() if k != "shapes"}, indent=2

@@ -26,10 +26,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..data.pcpnet import _load_cached
 from ..models.experts import ExpertsNormEst
 from ..ops.ball_query import build_grid, extract_patches, max_cell_occupancy
-from .predict import _pad_batch, _serving_jit, load_run, restore_model
+from .predict import (
+    SparseMoeRouter,
+    _PhaseTimer,
+    _pad_batch,
+    _serving_jit,
+    load_run,
+    restore_model,
+)
 from .writer import ShapeScatterWriter
 
 
@@ -79,6 +88,31 @@ def make_device_forward(model, n_scales, *, num_point, cell_capacity):
     return jax.jit(fwd), is_moe
 
 
+def make_device_manager_store(model, n_scales, *, num_point, cell_capacity):
+    """Sparse-mode program A with on-device extraction fused in front:
+    query points -> ball-query patch gather (per radius) -> MuPS grid ->
+    manager probs, parking the grid in the routing FIFO (donated)."""
+
+    def manager_store(params, state, grids, queries, radii, buf, slot):
+        pts_scales, neff_scales = [], []
+        for i in range(n_scales):
+            p, ne = extract_patches(
+                grids[i], queries, radii[i], k=num_point,
+                cell_capacity=cell_capacity, center="point",
+            )
+            pts_scales.append(p)
+            neff_scales.append(ne)
+        grid = model._mups_grid(
+            jnp.concatenate(pts_scales, axis=1),
+            jnp.stack(neff_scales, axis=1),
+        ).astype(model.compute_dtype)
+        probs = model.apply_manager_on_grid(params, state, grid)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, grid[None], slot, axis=0)
+        return probs, buf
+
+    return jax.jit(manager_store, donate_argnums=(5,))
+
+
 def predict_shapes_device(
     run_dir: str,
     *,
@@ -90,12 +124,19 @@ def predict_shapes_device(
     output_dir: str | None = None,
     seed: int = 3627473,
     compute_dtype: str | None = None,
+    moe_inference: str = "sparse",
+    sparse_window_slots: int | None = None,
 ) -> dict:
     """Streaming inference with on-device patch extraction.
 
     Every point of every shape in `testset`, in order, like the host
     path; writes the same `.normals` (+ `.experts`/`.experts_probs`)
     files.
+
+    moe_inference: "sparse" (default) fuses extraction + MuPS + manager
+    into program A and runs each patch through only its argmax expert
+    via the routing FIFO (`SparseMoeRouter`) — outputs identical to
+    dense; "dense" runs all experts in the single fused program.
     """
     del loader_workers
     rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
@@ -126,6 +167,12 @@ def predict_shapes_device(
     params, state = restore_model(rd, cfg, model, sample)
 
     rng = np.random.RandomState(seed)
+    if isinstance(model, ExpertsNormEst) and moe_inference == "sparse":
+        return _predict_sparse_device(
+            model, params, state, cfg, writer, clouds, rng,
+            batch_size=batch_size, out_dir=out_dir,
+            window_slots=sparse_window_slots,
+        )
     n_patches = 0
     t0 = time.perf_counter()
     for name, cloud in zip(shape_names, clouds):
@@ -190,3 +237,60 @@ def predict_shapes_device(
         "shapes": writer.written,
         "output_dir": out_dir,
     }
+
+
+def _predict_sparse_device(
+    model, params, state, cfg, writer, clouds, rng, *,
+    batch_size: int, out_dir: str, window_slots: int | None = None,
+) -> dict:
+    """Sparse MoE serving with on-device extraction: per batch the host
+    uploads only a [B, 3] query slice (~3 KB); program A extracts the
+    patches with the grid ball query, computes MuPS + manager probs and
+    parks the grid in the routing FIFO; the `SparseMoeRouter` then runs
+    each patch through exactly one expert (program B) — neither the
+    kd-tree nor any patch tensor ever touches the host.  This composes
+    the two serving optimizations that individually beat the reference
+    path (device extraction; argmax-only routing) and removes the
+    1-core host extraction ceiling (~3k patches/s) from the loop."""
+    trace = _PhaseTimer(os.environ.get("NESTINET_SERVING_TRACE") == "1")
+    router = SparseMoeRouter(
+        model, params, state, cfg, writer, batch_size,
+        window_slots=window_slots, trace=trace,
+    )
+    t0 = time.perf_counter()
+    for cloud in clouds:
+        bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
+        radii_abs = [r * bbdiag for r in cfg.patch_radius]
+
+        # pre-shuffle: uniform first-k subsampling parity (module doc)
+        perm = rng.permutation(cloud.shape[0])
+        shuffled = jnp.asarray(cloud[perm], jnp.float32)
+        with trace("grid_build"):
+            grids = [build_grid(shuffled, r) for r in radii_abs]
+            occ = max(max_cell_occupancy(g) for g in grids)
+        cap = _capacity_bucket(occ)
+        mgr = _serving_jit(
+            model,
+            f"device_manager_store_n{cfg.num_point}_s{len(radii_abs)}_c{cap}",
+            lambda: make_device_manager_store(
+                model, len(radii_abs), num_point=cfg.num_point,
+                cell_capacity=cap,
+            ),
+        )
+        radii_dev = jnp.asarray(radii_abs, jnp.float32)
+
+        for start in range(0, cloud.shape[0], batch_size):
+            q = cloud[start : start + batch_size].astype(np.float32)
+            real = q.shape[0]
+            if real < batch_size:
+                q = np.concatenate(
+                    [q, np.zeros((batch_size - real, 3), np.float32)]
+                )
+            slot = router.begin_batch()
+            with trace("manager_dispatch"):
+                probs_dev, buf = mgr(
+                    params, state, grids, jnp.asarray(q), radii_dev,
+                    router.buf, slot,
+                )
+            router.commit(real, probs_dev, buf)
+    return router.finish(t0, out_dir)

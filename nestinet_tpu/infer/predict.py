@@ -379,22 +379,22 @@ def _make_put(mesh):
     return lambda v: jax.device_put(np.asarray(v), sh)
 
 
-def _predict_sparse_moe(
-    model, params, state, loader, dataset, cfg, out_dir, batch_size, mesh=None,
-    window_slots: int | None = None,
-) -> dict:
-    """Argmax-only MoE inference with ON-DEVICE grid reuse (VERDICT r1 #4).
+class SparseMoeRouter:
+    """On-device argmax-only MoE routing with a grid FIFO (VERDICT r1 #4).
 
     Round-1's host-side bucketing re-uploaded the bucketed points and
     recomputed MuPS per expert pass, which cost more than the skipped
     expert FLOPs saved (sparse 608 vs dense 1664 patches/s).  Redesign:
 
-      * Program A (`manager_store`): MuPS grid -> manager probs; the
-        grid is parked in slot `i % W` of a device-resident FIFO buffer
-        `buf [W, B, r, r, r, C]` (donated, so the update is in-place).
-      * Host: fetch ONLY the [E, B] probs (one-deep pipeline), argmax,
-        and bucket flat FIFO indices per winning expert — no patch data
-        moves host->device again.
+      * Program A (built by the CALLER — host path: MuPS+manager on an
+        uploaded patch batch; device path: ball-query extraction fused
+        in front): computes the MuPS grid and manager probs and parks
+        the grid in slot `i % W` of a device-resident FIFO buffer
+        `self.buf [W, B, r, r, r, C]` (donated, so the update is
+        in-place).
+      * Host (this class): fetch ONLY the [E, B] probs (DEPTH-deep
+        pipeline), argmax, and bucket flat FIFO indices per winning
+        expert — no patch data moves host->device again.
       * Program B (`expert_on_buf`, one per architecture group): gather
         the bucketed rows from the FIFO, dynamic-slice the group's MuPS
         channels, run the single argmax expert -> normals [B, 3].
@@ -407,18 +407,210 @@ def _predict_sparse_moe(
     are bit-identical to the dense path: same grid numerics, same
     expert math, same first-max argmax tie-breaking on the same f32
     probabilities (`test_n_est_w_experts.py:148-152`).
-    """
-    import functools
 
+    Driver protocol, per batch:
+
+        slot = router.begin_batch()           # evicts the wrapping slot
+        probs_dev, new_buf = program_a(..., router.buf, slot)
+        router.commit(real, probs_dev, new_buf)
+
+    then once: `stats = router.finish(t0)`.
+    """
+
+    def __init__(self, model, params, state, cfg, writer, batch_size,
+                 window_slots: int | None = None, trace=None):
+        import functools
+
+        self.model = model
+        self.params = params
+        self.state = state
+        self.writer = writer
+        self.batch_size = batch_size
+        self.trace = trace if trace is not None else _PhaseTimer(False)
+        res = model.resolution
+        grid_shape = (res, res, res, 20 * cfg.n_scales)
+        # ~8k parked grids: large enough that 256-patch buckets fill
+        # before eviction for 7 experts (73 forced flushes -> 2 on the
+        # bench set; 2603 -> 2826 patches/s), small enough that the
+        # donated FIFO stays moderate at bf16 (64 slots x 256 measured
+        # SLOWER — HBM pressure).
+        self.W = window_slots if window_slots else max(2, 8192 // batch_size)
+        self.expert_fns = {
+            gi: _serving_jit(
+                model,
+                f"expert_on_buf_{gi}",
+                lambda gi=gi: jax.jit(
+                    functools.partial(_expert_on_buf, model, group_index=gi)
+                ),
+            )
+            for gi in range(len(model.groups))
+        }
+        self.table = model.expert_to_group()
+
+        self.store: dict[int, tuple] = {}  # patch idx -> (normal, expert, probs)
+        self.pending_normal: dict[int, int] = {}  # patch idx -> marker
+        # bucket entry: (global patch idx, flat FIFO index, batch index)
+        self.buckets = {e: [] for e in range(model.n_experts)}
+        self.emit_ptr = 0
+        self.n_patches = 0
+        self.batch_i = 0  # batches dispatched through program A
+        self.forced_flushes = 0
+        self.expert_pending: list[tuple[list[int], object]] = []
+        self.manager_queue: list[tuple] = []
+        # Manager results are consumed DEPTH batches behind dispatch, so
+        # by the time probs[i] is materialized on host its device->host
+        # copy (~30 ms relay round trip) has fully overlapped the
+        # compute of batches i+1..i+DEPTH; one-deep (round 1) still
+        # exposed most of the round trip because fetch(i) only
+        # overlapped dispatch(i+1).  DEPTH must stay <= W-2 so bucket
+        # entries exist before their slot is evicted; 3 covers the
+        # relay RTT at measured compute times.
+        self.depth = min(3, self.W - 2) if self.W > 2 else 1
+
+        buf = jnp.zeros((self.W, batch_size) + grid_shape, model.compute_dtype)
+        self.buf = jax.block_until_ready(jax.device_put(buf))
+
+    def begin_batch(self):
+        """Evict the slot about to be overwritten; returns it (traced)."""
+        if self.batch_i >= self.W:
+            with self.trace("evict"):
+                self._evict_slot(self.batch_i % self.W)
+        return jnp.asarray(self.batch_i % self.W, jnp.int32)
+
+    def commit(self, real: int, probs_dev, new_buf):
+        """Record a dispatched program-A batch and advance the pipeline."""
+        self.buf = new_buf
+        try:
+            probs_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self.manager_queue.append((self.batch_i, real, probs_dev))
+        while len(self.manager_queue) > self.depth:
+            self._process_manager(self.manager_queue.pop(0))
+        self.batch_i += 1
+
+    def finish(self, t0: float, out_dir: str) -> dict:
+        while self.manager_queue:
+            self._process_manager(self.manager_queue.pop(0))
+        for e, entries in self.buckets.items():  # flush partial buckets
+            while entries:
+                self._run_bucket(e, entries[: self.batch_size])
+                del entries[: self.batch_size]
+        self._drain_expert_pending(0)
+        self._emit()
+        elapsed = time.perf_counter() - t0
+
+        assert self.writer.done, "writer did not consume all shapes"
+        stats = {
+            "n_patches": self.n_patches,
+            "seconds": elapsed,
+            "patches_per_sec": (
+                self.n_patches / elapsed if elapsed > 0 else float("inf")
+            ),
+            "shapes": self.writer.written,
+            "output_dir": out_dir,
+            "forced_flushes": self.forced_flushes,
+            "window_slots": self.W,
+        }
+        if self.trace.enabled:
+            # note: `evict` nests the expert dispatches it forces, so
+            # phase totals can sum past wall time; read leaves first.
+            stats.update(self.trace.report(self.batch_i))
+        return stats
+
+    # ---- internals ----
+    def _run_bucket(self, e: int, entries):
+        gi, member = self.table[e]
+        idxs = [it[0] for it in entries]
+        flat = np.asarray([it[1] for it in entries], np.int32)
+        if len(entries) < self.batch_size:
+            self.forced_flushes += 1
+            flat = np.concatenate(
+                [flat, np.zeros(self.batch_size - len(entries), np.int32)]
+            )
+        with self.trace("expert_dispatch"):
+            normals_dev = self.expert_fns[gi](
+                self.params, self.state, self.buf, jnp.asarray(flat),
+                member=jnp.asarray(member, jnp.int32),
+            )
+        try:
+            normals_dev.copy_to_host_async()
+        except Exception:
+            pass
+        self.expert_pending.append((idxs, normals_dev))
+        self._drain_expert_pending(2)  # at most 2 bucket runs in flight
+
+    def _drain_expert_pending(self, max_left: int):
+        while len(self.expert_pending) > max_left:
+            idxs, dev = self.expert_pending.pop(0)
+            with self.trace("normals_materialize"):
+                normals = np.asarray(dev)
+            for k, idx in enumerate(idxs):
+                e_id, probs_row = self.store[idx]
+                self.store[idx] = (normals[k], e_id, probs_row)
+                del self.pending_normal[idx]
+
+    def _emit(self):
+        chunk_n, chunk_e, chunk_p = [], [], []
+        while self.emit_ptr in self.store and (
+            self.emit_ptr not in self.pending_normal
+        ):
+            nrm, e_id, probs_row = self.store.pop(self.emit_ptr)
+            chunk_n.append(nrm)
+            chunk_e.append(e_id)
+            chunk_p.append(probs_row)
+            self.emit_ptr += 1
+        if chunk_n:
+            with self.trace("emit_write"):
+                self.writer.append(
+                    np.stack(chunk_n),
+                    np.asarray(chunk_e, np.int64),
+                    np.stack(chunk_p),
+                )
+
+    def _evict_slot(self, slot: int):
+        """Flush every bucket entry whose grid lives in `slot` BEFORE
+        program A overwrites it.  Entries are appended in batch order,
+        so slot-matching entries sit at each bucket's head."""
+        for e, entries in self.buckets.items():
+            while entries and entries[0][2] % self.W == slot:
+                chunk = [it for it in entries if it[2] % self.W == slot]
+                self._run_bucket(e, chunk[: self.batch_size])
+                del entries[: len(chunk[: self.batch_size])]
+
+    def _process_manager(self, pending):
+        # The remote-TPU relay downloads at ~1.5 MB/s with a ~24 ms
+        # round-trip floor while uploads run at ~1 GB/s, so every
+        # synchronous fetch is a stall; probs are materialized DEPTH
+        # batches behind dispatch (see __init__).
+        b_idx, real, probs_dev = pending
+        with self.trace("probs_materialize"):
+            probs = np.asarray(probs_dev)  # [E, batch]
+        experts = np.argmax(probs[:, :real], axis=0)
+        for r in range(real):
+            idx = self.n_patches + r
+            self.store[idx] = (int(experts[r]), probs[:, r])
+            self.pending_normal[idx] = 1
+            self.buckets[int(experts[r])].append(
+                (idx, (b_idx % self.W) * self.batch_size + r, b_idx)
+            )
+        self.n_patches += real
+        for e, entries in self.buckets.items():
+            while len(entries) >= self.batch_size:
+                self._run_bucket(e, entries[: self.batch_size])
+                del entries[: self.batch_size]
+        self._emit()
+
+
+def _predict_sparse_moe(
+    model, params, state, loader, dataset, cfg, out_dir, batch_size, mesh=None,
+    window_slots: int | None = None,
+) -> dict:
+    """Host-extraction sparse serving: kd-tree patches are uploaded per
+    batch and program A is MuPS + manager + FIFO park (routing machinery
+    in `SparseMoeRouter`)."""
     put = _make_put(mesh)
     trace = _PhaseTimer(os.environ.get("NESTINET_SERVING_TRACE") == "1")
-    res = model.resolution
-    grid_shape = (res, res, res, 20 * cfg.n_scales)
-    # ~8k parked grids: large enough that 256-patch buckets fill before
-    # eviction for 7 experts (73 forced flushes -> 2 on the bench set;
-    # 2603 -> 2826 patches/s), small enough that the donated FIFO stays
-    # ~250 MB at bf16 (64 slots x 256 measured SLOWER - HBM pressure).
-    W = window_slots if window_slots else max(2, 8192 // batch_size)
 
     def _make_manager_store():
         def manager_store(params, state, batch, buf, slot):
@@ -434,131 +626,17 @@ def _predict_sparse_moe(
         return jax.jit(manager_store, donate_argnums=(3,))
 
     manager_fn = _serving_jit(model, "manager_store", _make_manager_store)
-    expert_fns = {
-        gi: _serving_jit(
-            model,
-            f"expert_on_buf_{gi}",
-            lambda gi=gi: jax.jit(
-                functools.partial(_expert_on_buf, model, group_index=gi)
-            ),
-        )
-        for gi in range(len(model.groups))
-    }
-    table = model.expert_to_group()
 
     writer = ShapeScatterWriter(
         out_dir, dataset.shape_names, dataset.shape_patch_count,
         n_experts=cfg.n_experts,
     )
+    router = SparseMoeRouter(
+        model, params, state, cfg, writer, batch_size,
+        window_slots=window_slots, trace=trace,
+    )
 
-    store: dict[int, tuple] = {}  # patch idx -> (normal, expert, probs)
-    pending_normal: dict[int, int] = {}  # patch idx -> placeholder marker
-    # bucket entry: (global patch idx, flat FIFO index, batch index)
-    buckets = {e: [] for e in range(model.n_experts)}
-    emit_ptr = 0
-    n_patches = 0
-    batch_i = 0  # batches dispatched through program A
-    forced_flushes = 0
-
-    expert_pending: list[tuple[list[int], object]] = []
-    buf = jnp.zeros((W, batch_size) + grid_shape, model.compute_dtype)
-    buf = jax.block_until_ready(jax.device_put(buf))
-
-    def run_bucket(e: int, entries):
-        nonlocal forced_flushes
-        gi, member = table[e]
-        idxs = [it[0] for it in entries]
-        flat = np.asarray([it[1] for it in entries], np.int32)
-        if len(entries) < batch_size:
-            forced_flushes += 1
-            flat = np.concatenate(
-                [flat, np.zeros(batch_size - len(entries), np.int32)]
-            )
-        with trace("expert_dispatch"):
-            normals_dev = expert_fns[gi](
-                params, state, buf, jnp.asarray(flat),
-                member=jnp.asarray(member, jnp.int32),
-            )
-        try:
-            normals_dev.copy_to_host_async()
-        except Exception:
-            pass
-        expert_pending.append((idxs, normals_dev))
-        drain_expert_pending(2)  # keep at most 2 bucket runs in flight
-
-    def drain_expert_pending(max_left: int):
-        while len(expert_pending) > max_left:
-            idxs, dev = expert_pending.pop(0)
-            with trace("normals_materialize"):
-                normals = np.asarray(dev)
-            for k, idx in enumerate(idxs):
-                e_id, probs_row = store[idx]
-                store[idx] = (normals[k], e_id, probs_row)
-                del pending_normal[idx]
-
-    def emit():
-        nonlocal emit_ptr
-        chunk_n, chunk_e, chunk_p = [], [], []
-        while emit_ptr in store and emit_ptr not in pending_normal:
-            nrm, e_id, probs_row = store.pop(emit_ptr)
-            chunk_n.append(nrm)
-            chunk_e.append(e_id)
-            chunk_p.append(probs_row)
-            emit_ptr += 1
-        if chunk_n:
-            with trace("emit_write"):
-                writer.append(
-                    np.stack(chunk_n),
-                    np.asarray(chunk_e, np.int64),
-                    np.stack(chunk_p),
-                )
-
-    def evict_slot(slot: int):
-        """Flush every bucket entry whose grid lives in `slot` BEFORE
-        program A overwrites it.  Entries are appended in batch order,
-        so slot-matching entries sit at each bucket's head."""
-        for e, entries in buckets.items():
-            while entries and entries[0][2] % W == slot:
-                chunk = [it for it in entries if it[2] % W == slot]
-                run_bucket(e, chunk[:batch_size])
-                del entries[: len(chunk[:batch_size])]
-
-    # The remote-TPU relay downloads at ~1.5 MB/s with a ~24 ms
-    # round-trip floor while uploads run at ~1 GB/s, so every
-    # synchronous fetch is a stall.  Both passes run one batch deep:
-    # the manager result for batch i is materialized only after batch
-    # i+1 is dispatched, and expert-bucket outputs start their
-    # device->host copy asynchronously and are materialized later.
-    def process_manager(pending):
-        nonlocal n_patches
-        b_idx, real, probs_dev = pending
-        with trace("probs_materialize"):
-            probs = np.asarray(probs_dev)  # [E, batch]
-        experts = np.argmax(probs[:, :real], axis=0)
-        for r in range(real):
-            idx = n_patches + r
-            store[idx] = (int(experts[r]), probs[:, r])
-            pending_normal[idx] = 1
-            buckets[int(experts[r])].append(
-                (idx, (b_idx % W) * batch_size + r, b_idx)
-            )
-        n_patches += real
-        for e, entries in buckets.items():
-            while len(entries) >= batch_size:
-                run_bucket(e, entries[:batch_size])
-                del entries[:batch_size]
-        emit()
-
-    # Manager results are consumed DEPTH batches behind dispatch, so by
-    # the time probs[i] is materialized on host its device->host copy
-    # (~30 ms relay round trip) has fully overlapped the compute of
-    # batches i+1..i+DEPTH; one-deep (round 1) still exposed most of the
-    # round trip because fetch(i) only overlapped dispatch(i+1).  DEPTH
-    # must stay <= W-2 so bucket entries exist before their slot is
-    # evicted; 3 covers the relay RTT at measured compute times.
-    depth = min(3, W - 2) if W > 2 else 1
     t0 = time.perf_counter()
-    manager_queue: list[tuple] = []
     _end = object()
     batch_iter = iter(loader)
     while True:
@@ -568,9 +646,7 @@ def _predict_sparse_moe(
             break
         real = batch["points"].shape[0]
         padded = _pad_batch(batch, batch_size)
-        if batch_i >= W:
-            with trace("evict"):
-                evict_slot(batch_i % W)
+        slot = router.begin_batch()
         with trace("upload"):
             dev_batch = {
                 "points": put(padded["points"]),
@@ -578,42 +654,10 @@ def _predict_sparse_moe(
             }
         with trace("manager_dispatch"):
             probs_dev, buf = manager_fn(
-                params, state, dev_batch, buf,
-                jnp.asarray(batch_i % W, jnp.int32),
+                params, state, dev_batch, router.buf, slot
             )
-        try:
-            probs_dev.copy_to_host_async()
-        except Exception:
-            pass
-        manager_queue.append((batch_i, real, probs_dev))
-        while len(manager_queue) > depth:
-            process_manager(manager_queue.pop(0))
-        batch_i += 1
-    while manager_queue:
-        process_manager(manager_queue.pop(0))
-    for e, entries in buckets.items():  # flush partial buckets
-        while entries:
-            run_bucket(e, entries[:batch_size])
-            del entries[:batch_size]
-    drain_expert_pending(0)
-    emit()
-    elapsed = time.perf_counter() - t0
-
-    assert writer.done, "writer did not consume all shapes"
-    stats = {
-        "n_patches": n_patches,
-        "seconds": elapsed,
-        "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
-        "shapes": writer.written,
-        "output_dir": out_dir,
-        "forced_flushes": forced_flushes,
-        "window_slots": W,
-    }
-    if trace.enabled:
-        # note: `evict` nests the expert dispatches it forces, so phase
-        # totals can sum past wall time; read leaves first.
-        stats.update(trace.report(batch_i))
-    return stats
+        router.commit(real, probs_dev, buf)
+    return router.finish(t0, out_dir)
 
 
 def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):

@@ -107,3 +107,29 @@ def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
     probs = np.loadtxt(os.path.join(od, "s.experts_probs"))
     assert probs.shape == (400, 3)
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-4)
+
+    # Sparse routing (the default above) must match the dense program:
+    # same routing decisions, same per-patch normal directions.  Raw
+    # normals are compared as directions because XLA fuses extraction +
+    # MuPS differently into the one-program dense forward vs the
+    # two-program sparse path, which perturbs f32 grid values at the
+    # ULP level — amplified to ~1e-6 relative on this UNTRAINED
+    # (exploding, |n|~1e13) fixture net.
+    dense = predict_shapes_device(rd.path, dataset_name="dev_dense",
+                                  testset="mini.txt", data_path=root,
+                                  batch_size=16, moe_inference="dense")
+    dd = dense["output_dir"]
+    np.testing.assert_array_equal(
+        np.loadtxt(os.path.join(od, "s.experts")),
+        np.loadtxt(os.path.join(dd, "s.experts")),
+    )
+    s = np.loadtxt(os.path.join(od, "s.normals"))
+    d = np.loadtxt(os.path.join(dd, "s.normals"))
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    gap = np.degrees(np.arccos(np.clip(np.abs((s * d).sum(1)), -1, 1)))
+    assert gap.max() < 0.01, f"max sparse-vs-dense gap {gap.max():.5f} deg"
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(od, "s.experts_probs")),
+        np.loadtxt(os.path.join(dd, "s.experts_probs")), atol=1e-5,
+    )
