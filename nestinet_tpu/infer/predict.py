@@ -464,10 +464,18 @@ class SparseMoeRouter:
         # exposed most of the round trip because fetch(i) only
         # overlapped dispatch(i+1).  DEPTH must stay <= W-2 so bucket
         # entries exist before their slot is evicted; 3 covers the
-        # relay RTT at measured compute times.
-        self.depth = min(3, self.W - 2) if self.W > 2 else 1
+        # relay RTT at measured compute times.  Effective FIFO lifetime
+        # shrinks to W - depth batches, so keep depth well under W.
+        depth_env = int(os.environ.get("NESTINET_MANAGER_DEPTH", "3"))
+        self.depth = min(depth_env, self.W - 2) if self.W > 2 else 1
 
-        buf = jnp.zeros((self.W, batch_size) + grid_shape, model.compute_dtype)
+        # FIFO rows are stored FLAT ([W, B, res^3 * C]) rather than in
+        # grid shape: the last dim then tiles perfectly onto (8, 128)
+        # lanes, where a [..., res, res, res, C] layout pads C (60) up
+        # to 128 lanes — 2.1x the HBM and a padded gather whose
+        # pad-clamp fusion blows the 16 MB scoped-VMEM limit.
+        row_len = int(np.prod(grid_shape))
+        buf = jnp.zeros((self.W, batch_size, row_len), model.compute_dtype)
         self.buf = jax.block_until_ready(jax.device_put(buf))
 
     def begin_batch(self):
@@ -525,8 +533,15 @@ class SparseMoeRouter:
         flat = np.asarray([it[1] for it in entries], np.int32)
         if len(entries) < self.batch_size:
             self.forced_flushes += 1
+            # Forced flushes (slot eviction, end-of-stream) usually hold
+            # far fewer than batch_size entries; padding them to a
+            # quarter-size program-B specialization instead of the full
+            # one cuts the wasted expert compute ~4x (jit re-specializes
+            # per row count, so this costs one extra compile per group).
+            small = max(32, self.batch_size // 4)
+            target = small if len(entries) <= small else self.batch_size
             flat = np.concatenate(
-                [flat, np.zeros(self.batch_size - len(entries), np.int32)]
+                [flat, np.zeros(target - len(entries), np.int32)]
             )
         with self.trace("expert_dispatch"):
             normals_dev = self.expert_fns[gi](
@@ -538,7 +553,13 @@ class SparseMoeRouter:
         except Exception:
             pass
         self.expert_pending.append((idxs, normals_dev))
-        self._drain_expert_pending(2)  # at most 2 bucket runs in flight
+        # In-flight window of bucket runs: outputs are materialized this
+        # many runs behind dispatch so the per-run device->host round
+        # trip (~30 ms relay floor) overlaps later compute instead of
+        # serializing the loop (measured: 2 -> 2659 patches/s ceiling).
+        self._drain_expert_pending(
+            int(os.environ.get("NESTINET_EXPERT_INFLIGHT", "12"))
+        )
 
     def _drain_expert_pending(self, max_left: int):
         while len(self.expert_pending) > max_left:
@@ -619,7 +640,7 @@ def _predict_sparse_moe(
             )
             probs = model.apply_manager_on_grid(params, state, grid)
             buf = jax.lax.dynamic_update_slice_in_dim(
-                buf, grid[None], slot, axis=0
+                buf, grid.reshape(grid.shape[0], -1)[None], slot, axis=0
             )
             return probs, buf
 
@@ -664,14 +685,17 @@ def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):
     """Program B: gather bucketed grid rows from the FIFO buffer and run
     one expert (member traced, group static) -> normals [B, 3].
 
-    The gather runs in row chunks: one fused gather of B full grid rows
-    (B=256 x 122 KB = 30 MB at f32) exceeds the TPU's 16 MB scoped-VMEM
-    staging limit, so rows are taken <=64 at a time and the group's
-    channel slice is applied per chunk before concatenation."""
-    flat = buf.reshape((-1,) + buf.shape[2:])
+    `buf` holds FLAT grid rows ([W, B, res^3 * C]); the gather runs in
+    row chunks (one fused gather of B full rows — B=256 x 122 KB at f32
+    = 30 MB — exceeds the TPU's 16 MB scoped-VMEM staging limit), each
+    chunk is reshaped to grid form and the group's channel slice taken
+    before concatenation."""
+    flat = buf.reshape(-1, buf.shape[-1])
     group = model.groups[group_index]
     start = jnp.asarray(group.starts, jnp.int32)[member]
     n = flat_idx.shape[0]
+    res = model.resolution
+    c_total = 20 * model.cfg.n_scales
     # 64 rows x 122 KB (f32 grid row) = 7.8 MB per staged gather; 2-byte
     # dtypes can take 128 rows within the same budget.
     chunk = 128 if buf.dtype.itemsize <= 2 else 64
@@ -684,6 +708,7 @@ def _expert_on_buf(model, params, state, buf, flat_idx, member, *, group_index):
 
     def take_block(idx):
         rows = jnp.take(flat, idx, axis=0)
+        rows = rows.reshape(idx.shape[0], res, res, res, c_total)
         return jax.lax.dynamic_slice_in_dim(rows, start, group.channels, axis=-1)
 
     g = jax.lax.map(take_block, idx_blocks)
