@@ -61,14 +61,29 @@ REF_PROBE_PATCHES = 512
 
 
 def make_shape(root, n_points, seed=0):
+    """Two shapes (sphere + torus): single-shape 20k-patch passes were
+    noise-dominated through the relay (repeat spread >30%)."""
     rng = np.random.RandomState(seed)
     v = rng.randn(n_points, 3)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     pts = v + 0.002 * rng.randn(n_points, 3)
     np.savetxt(os.path.join(root, "bench_sphere.xyz"), pts)
     np.savetxt(os.path.join(root, "bench_sphere.normals"), v)
+    u, w = rng.uniform(0, 2 * np.pi, (2, n_points))
+    R0, r0 = 1.0, 0.4
+    tor = np.stack([
+        (R0 + r0 * np.cos(w)) * np.cos(u),
+        (R0 + r0 * np.cos(w)) * np.sin(u),
+        r0 * np.sin(w),
+    ], axis=1)
+    tnrm = np.stack([
+        np.cos(w) * np.cos(u), np.cos(w) * np.sin(u), np.sin(w)
+    ], axis=1)
+    np.savetxt(os.path.join(root, "bench_torus.xyz"),
+               tor + 0.002 * rng.randn(n_points, 3))
+    np.savetxt(os.path.join(root, "bench_torus.normals"), tnrm)
     with open(os.path.join(root, "benchset.txt"), "w") as f:
-        f.write("bench_sphere\n")
+        f.write("bench_sphere\nbench_torus\n")
 
 
 def reference_proxy_rate(root) -> float:
@@ -241,10 +256,14 @@ def reference_style_rate(run_path: str, root: str) -> float:
     }
     table = model.expert_to_group()
 
-    def run_pass():
+    def run_pass(max_batches: int = 40):
+        # Serial rate is steady batch-to-batch: 40 batches (~10k
+        # patches) bounds the denominator's share of bench wall time.
         n = 0
         t0 = time.perf_counter()
-        for batch in loader:
+        for bi, batch in enumerate(loader):
+            if bi >= max_batches:
+                break
             real = batch["points"].shape[0]
             padded = _pad_batch(batch, BATCH)
             db = {
@@ -267,8 +286,8 @@ def reference_style_rate(run_path: str, root: str) -> float:
             n += real
         return n / (time.perf_counter() - t0)
 
-    run_pass()  # warmup (programs already cached by the sparse pass)
-    return run_pass()
+    run_pass(max_batches=8)  # warmup (programs already cached by the sparse pass)
+    return max(run_pass(), run_pass())  # best-of-two, like the numerator
 
 
 def main():
@@ -327,10 +346,18 @@ def main():
                     )
             run(f"warm_{name}")
             mark(f"{name} warmup done (programs compiled)")
-            rates[name] = run(f"bench_{name}")["patches_per_sec"]
-            mark(f"{name} inference: {rates[name]:.1f} patches/s")
+            # Two measured passes, best-of: relay latency drifts over
+            # the bench's ~10 min and contention only ever slows a
+            # pass, so max is the low-variance estimator.
+            r1 = run(f"bench_{name}")["patches_per_sec"]
+            r2 = run(f"bench2_{name}")["patches_per_sec"]
+            rates[name] = max(r1, r2)
+            mark(f"{name} inference: {rates[name]:.1f} patches/s "
+                 f"(passes {r1:.0f}/{r2:.0f})")
         ours = max(rates.values())
 
+        # The denominator gets the same treatment (best-of-two) so
+        # relay drift cannot inflate the ratio.
         ref_rate = reference_style_rate(run_path, root)
         mark(f"reference-style serial rate: {ref_rate:.1f} patches/s")
 
