@@ -67,6 +67,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             compute_dtype=args.compute_dtype,
             moe_inference=args.moe_inference,
+            sparse_patches=bool(args.sparse_patches),
         )
         print(json.dumps(
             {k: v for k, v in stats.items() if k != "shapes"}, indent=2

@@ -140,12 +140,16 @@ def predict_shapes_device(
     compute_dtype: str | None = None,
     moe_inference: str = "sparse",
     sparse_window_slots: int | None = None,
+    sparse_patches: bool = False,
 ) -> dict:
     """Streaming inference with on-device patch extraction.
 
     Every point of every shape in `testset`, in order, like the host
     path; writes the same `.normals` (+ `.experts`/`.experts_probs`)
-    files.
+    files.  With `sparse_patches`, only each shape's `.pidx` subset is
+    queried (the reference's sparse-eval protocol,
+    `test_n_est_w_experts.py:109-116`) and outputs hold one row per
+    pidx entry, like the host loader's sparse mode.
 
     moe_inference: "sparse" (default) fuses extraction + MuPS + manager
     into program A and runs each patch through only its argmax expert
@@ -163,7 +167,16 @@ def predict_shapes_device(
     clouds = [
         _load_cached(f"{indir}/{name}.xyz", np.float32) for name in shape_names
     ]
-    counts = [c.shape[0] for c in clouds]
+    queries_per_shape = [None] * len(clouds)
+    if sparse_patches:
+        queries_per_shape = [
+            _load_cached(f"{indir}/{name}.pidx", np.int64).astype(np.int64)
+            for name in shape_names
+        ]
+    counts = [
+        c.shape[0] if q is None else q.shape[0]
+        for c, q in zip(clouds, queries_per_shape)
+    ]
     writer = ShapeScatterWriter(
         out_dir, shape_names, counts,
         n_experts=cfg.n_experts if cfg.model == "experts_n_est" else None,
@@ -186,10 +199,11 @@ def predict_shapes_device(
             model, params, state, cfg, writer, clouds, rng,
             batch_size=batch_size, out_dir=out_dir,
             window_slots=sparse_window_slots,
+            queries_per_shape=queries_per_shape,
         )
     n_patches = 0
     t0 = time.perf_counter()
-    for name, cloud in zip(shape_names, clouds):
+    for name, cloud, qidx in zip(shape_names, clouds, queries_per_shape):
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
         radii_abs = [r * bbdiag for r in cfg.patch_radius]
 
@@ -209,6 +223,7 @@ def predict_shapes_device(
             ),
         )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
+        qpts = cloud if qidx is None else cloud[qidx]
 
         pending = None
 
@@ -224,8 +239,8 @@ def predict_shapes_device(
             else:
                 writer.append(np.asarray(outs)[:real])
 
-        for start in range(0, cloud.shape[0], batch_size):
-            q = cloud[start : start + batch_size].astype(np.float32)
+        for start in range(0, qpts.shape[0], batch_size):
+            q = qpts[start : start + batch_size].astype(np.float32)
             real = q.shape[0]
             if real < batch_size:
                 q = np.concatenate(
@@ -257,6 +272,7 @@ def predict_shapes_device(
 def _predict_sparse_device(
     model, params, state, cfg, writer, clouds, rng, *,
     batch_size: int, out_dir: str, window_slots: int | None = None,
+    queries_per_shape=None,
 ) -> dict:
     """Sparse MoE serving with on-device extraction: per batch the host
     uploads only a [B, 3] query slice (~3 KB); program A extracts the
@@ -272,8 +288,10 @@ def _predict_sparse_device(
         model, params, state, cfg, writer, batch_size,
         window_slots=window_slots, trace=trace,
     )
+    if queries_per_shape is None:
+        queries_per_shape = [None] * len(clouds)
     t0 = time.perf_counter()
-    for cloud in clouds:
+    for cloud, qidx in zip(clouds, queries_per_shape):
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
         radii_abs = [r * bbdiag for r in cfg.patch_radius]
 
@@ -294,9 +312,10 @@ def _predict_sparse_device(
             ),
         )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
+        qpts = cloud if qidx is None else cloud[qidx]
 
-        for start in range(0, cloud.shape[0], batch_size):
-            q = cloud[start : start + batch_size].astype(np.float32)
+        for start in range(0, qpts.shape[0], batch_size):
+            q = qpts[start : start + batch_size].astype(np.float32)
             real = q.shape[0]
             if real < batch_size:
                 q = np.concatenate(

@@ -30,6 +30,8 @@ def run_with_data(tmp_path_factory):
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     np.savetxt(os.path.join(root, "s.xyz"), v + 0.01 * rng.randn(n, 3))
     np.savetxt(os.path.join(root, "s.normals"), v)
+    np.savetxt(os.path.join(root, "s.pidx"),
+               rng.choice(n, 60, replace=False), fmt="%d")
     with open(os.path.join(root, "mini.txt"), "w") as f:
         f.write("s\n")
 
@@ -66,6 +68,28 @@ def test_device_matches_host_when_no_subsampling(run_with_data):
 
     h = np.loadtxt(os.path.join(host["output_dir"], "s.normals"))
     d = np.loadtxt(os.path.join(dev["output_dir"], "s.normals"))
+    hn = h / np.linalg.norm(h, axis=1, keepdims=True)
+    dn = d / np.linalg.norm(d, axis=1, keepdims=True)
+    gap = np.degrees(np.arccos(np.clip(np.abs((hn * dn).sum(1)), -1, 1)))
+    assert gap.max() < 0.5, f"max direction gap {gap.max():.4f} deg"
+
+
+def test_device_sparse_patches_matches_host(run_with_data):
+    """With `sparse_patches`, both paths query only the .pidx subset
+    (the reference's sparse-eval protocol, `test_n_est_w_experts.py:
+    109-116`) and write one output row per pidx entry."""
+    root, run_path = run_with_data
+    host = predict_shapes(run_path, dataset_name="host_sp",
+                          testset="mini.txt", data_path=root,
+                          batch_size=16, loader_workers=2,
+                          sparse_patches=True)
+    dev = predict_shapes_device(run_path, dataset_name="dev_sp",
+                                testset="mini.txt", data_path=root,
+                                batch_size=16, sparse_patches=True)
+    assert host["n_patches"] == dev["n_patches"] == 60
+    h = np.loadtxt(os.path.join(host["output_dir"], "s.normals"))
+    d = np.loadtxt(os.path.join(dev["output_dir"], "s.normals"))
+    assert h.shape == d.shape == (60, 3)
     hn = h / np.linalg.norm(h, axis=1, keepdims=True)
     dn = d / np.linalg.norm(d, axis=1, keepdims=True)
     gap = np.degrees(np.arccos(np.clip(np.abs((hn * dn).sum(1)), -1, 1)))
