@@ -108,6 +108,18 @@ def ball_query(
         idx   [B, k] int32 indices into the ORIGINAL cloud (0-padded),
         n_eff [B]    int32 true neighbor count (clipped at k).
     """
+    sorted_rows, took_hit, n_eff = _ball_query_sorted(
+        grid, queries, radius, k=k, cell_capacity=cell_capacity
+    )
+    idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
+    return idx.astype(jnp.int32), n_eff
+
+
+def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity):
+    """ball_query, but returning positions in the grid's SORTED point
+    array ([B, k] rows + hit mask + n_eff) — callers that gather from
+    `grid.points` directly (extract_patches) skip the inverse-
+    permutation round trip of original-index output."""
     B = queries.shape[0]
     radius = jnp.asarray(radius, jnp.float32)
     queries = queries.astype(jnp.float32)
@@ -162,8 +174,7 @@ def ball_query(
     vals, take = jax.lax.top_k(key, k)  # [B, k]
     took_hit = vals > 0
     sorted_rows = jnp.take_along_axis(cand, take, axis=1)
-    idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
-    return idx.astype(jnp.int32), n_eff
+    return jnp.where(took_hit, sorted_rows, 0), took_hit, n_eff
 
 
 def extract_patches(
@@ -181,16 +192,10 @@ def extract_patches(
 
     Returns (patch_points [B, k, 3], n_eff [B]).
     """
-    idx, n_eff = ball_query(
+    sorted_rows, _, n_eff = _ball_query_sorted(
         grid, queries, radius, k=k, cell_capacity=cell_capacity
     )
-    # gather from the ORIGINAL ordering: invert the sort (original index
-    # idx -> position). grid.points is sorted; map idx back via order.
-    # Build inverse permutation once per call (cheap on device).
-    inv = jnp.zeros_like(grid.order).at[grid.order].set(
-        jnp.arange(grid.order.shape[0], dtype=jnp.int32)
-    )
-    pts = grid.points[inv[idx]]  # [B, k, 3]
+    pts = grid.points[sorted_rows]  # [B, k, 3] (sorted-order gather)
     mask = (jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None])[..., None]
     radius = jnp.asarray(radius, jnp.float32)
     if center == "point":

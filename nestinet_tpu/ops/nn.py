@@ -279,18 +279,34 @@ def max_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
 
 def avg_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     """3D average pool, SAME padding, excluding padded cells from the
-    mean (TF semantics — border windows divide by the valid count)."""
-    dims = (1, kernel, kernel, kernel, 1)
-    strides = (1, stride, stride, stride, 1)
-    sums = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding="SAME")
-    counts = jax.lax.reduce_window(
-        jnp.ones(x.shape[1:-1], x.dtype)[None, ..., None],
-        0.0,
-        jax.lax.add,
-        dims,
-        strides,
-        padding="SAME",
-    )
+    mean (TF semantics — border windows divide by the valid count).
+
+    Computed SEPARABLY: one 1D sum-window per spatial axis (3·k adds
+    per position instead of k³) and the valid-count divisor as the
+    outer product of per-axis window counts — exactly equal to the
+    dense window sum/count (addition reassociation only).  The stride-1
+    k=3 case runs once per inception block on the block's full input,
+    the widest tensors in every backbone."""
+    sums = x
+    for axis in (1, 2, 3):
+        dims = [1, 1, 1, 1, 1]
+        strides_ = [1, 1, 1, 1, 1]
+        dims[axis] = kernel
+        strides_[axis] = stride
+        sums = jax.lax.reduce_window(
+            sums, 0.0, jax.lax.add, tuple(dims), tuple(strides_),
+            padding="SAME",
+        )
+    counts = jnp.asarray(1.0, x.dtype)
+    for axis in (1, 2, 3):
+        n = x.shape[axis]
+        c1 = jax.lax.reduce_window(
+            jnp.ones((n,), x.dtype), 0.0, jax.lax.add,
+            (kernel,), (stride,), padding="SAME",
+        )
+        shape = [1, 1, 1, 1, 1]
+        shape[axis] = c1.shape[0]
+        counts = counts * c1.reshape(shape)
     return sums / counts
 
 

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--data", default="data/synth_pcpnet")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--mode", default=None)
+    ap.add_argument("--extraction", default=None,
+                    help="host (default) or device (fused ball-query path)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--results_name", default="synthq")
     args = ap.parse_args()
@@ -59,6 +61,8 @@ def main():
             cmd += ["--compute_dtype", args.dtype]
         if args.mode:
             cmd += ["--moe_inference", args.mode]
+        if args.extraction:
+            cmd += ["--extraction", args.extraction]
         t0 = time.perf_counter()
         out = subprocess.run(cmd, env=env, capture_output=True, text=True)
         if out.returncode != 0:
