@@ -235,22 +235,33 @@ def build_protocol_benchmark(
         ("validationset.txt", VAL_SHAPES, 2),
     ):
         names = []
+        noise_of = {}
         for base in bases:
             pts, nrm = gen(base, salt=salt)
             variants = {
-                f"{base}{salt}": pts,
-                f"{base}{salt}_noise_med": add_white_noise(
-                    pts, NOISE_LEVELS["medium"], rng
+                f"{base}{salt}": (pts, 0.0),
+                f"{base}{salt}_noise_med": (
+                    add_white_noise(pts, NOISE_LEVELS["medium"], rng),
+                    NOISE_LEVELS["medium"],
                 ),
-                f"{base}{salt}_noise_lrg": add_white_noise(
-                    pts, NOISE_LEVELS["large"], rng
+                f"{base}{salt}_noise_lrg": (
+                    add_white_noise(pts, NOISE_LEVELS["large"], rng),
+                    NOISE_LEVELS["large"],
                 ),
             }
-            for vname, vpts in variants.items():
+            for vname, (vpts, sigma) in variants.items():
                 _write_shape(root, vname, vpts, nrm, n_pidx, rng)
                 names.append(vname)
+                noise_of[vname] = sigma
         with open(os.path.join(root, list_name), "w") as f:
             f.write("\n".join(names) + "\n")
+        # per-shape noise sigmas for the noise-switching trainer
+        # (`<list>_noise_levels.txt`, parity: pcpnet_dataset.py:223-233
+        # and README.md:60 of the reference)
+        with open(
+            os.path.join(root, list_name[:-4] + "_noise_levels.txt"), "w"
+        ) as f:
+            f.write("\n".join(f"{noise_of[n]:.6f}" for n in names) + "\n")
         sets[list_name] = names
 
     # six canonical testsets over the SAME base test shapes
