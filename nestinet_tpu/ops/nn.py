@@ -277,16 +277,34 @@ def max_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     )
 
 
-def avg_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+def avg_pool3d(
+    x: jnp.ndarray, kernel: int, stride: int, *, separable: bool = True
+) -> jnp.ndarray:
     """3D average pool, SAME padding, excluding padded cells from the
     mean (TF semantics — border windows divide by the valid count).
 
-    Computed SEPARABLY: one 1D sum-window per spatial axis (3·k adds
-    per position instead of k³) and the valid-count divisor as the
-    outer product of per-axis window counts — exactly equal to the
-    dense window sum/count (addition reassociation only).  The stride-1
-    k=3 case runs once per inception block on the block's full input,
-    the widest tensors in every backbone."""
+    With `separable` (the inference default): one 1D sum-window per
+    spatial axis (3·k adds per position instead of k³) and the
+    valid-count divisor as the outer product of per-axis window counts
+    — exactly equal to the dense window sum/count up to addition
+    reassociation, and measured ~7 ms/batch faster across the flagship
+    serving step (the stride-1 k=3 case runs once per inception block
+    on the block's full input, the widest tensors in every backbone).
+    Training passes separable=False: the two extra full-size
+    intermediates the separable form keeps live tipped the flagship
+    train step over the chip's 15.75 GB HBM (OOM by ~7 MB), and the
+    training graph is conv-bound anyway."""
+    if not separable:
+        dims = (1, kernel, kernel, kernel, 1)
+        strides = (1, stride, stride, stride, 1)
+        sums = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, dims, strides, padding="SAME"
+        )
+        counts = jax.lax.reduce_window(
+            jnp.ones(x.shape[1:-1], x.dtype)[None, ..., None],
+            0.0, jax.lax.add, dims, strides, padding="SAME",
+        )
+        return sums / counts
     sums = x
     for axis in (1, 2, 3):
         dims = [1, 1, 1, 1, 1]
@@ -322,7 +340,9 @@ class Inception3D(hk.Module):
         one = ConvBN3D(self.n, 1, name="conv1")(x, is_training, bn_momentum)
         b1 = ConvBN3D(self.n // 2, self.k1, name="conv2")(one, is_training, bn_momentum)
         b2 = ConvBN3D(self.n // 2, self.k2, name="conv3")(one, is_training, bn_momentum)
-        ap = avg_pool3d(x, self.k1, 1)
+        # separable pool only at inference: see avg_pool3d (the separable
+        # form's live intermediates OOM the flagship train step's HBM).
+        ap = avg_pool3d(x, self.k1, 1, separable=not is_training)
         ap = ConvBN3D(self.n, 1, name="conv4")(ap, is_training, bn_momentum)
         return jnp.concatenate([one, b1, b2, ap], axis=-1)
 
