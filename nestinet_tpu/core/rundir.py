@@ -66,6 +66,15 @@ class RunDir:
     def ckpt_dir(self) -> str:
         return os.path.join(self.path, "ckpt")
 
+    @property
+    def ckpt_best_dir(self) -> str:
+        """Best-validation-RMS checkpoint (written on val improvement;
+        serving prefers it when present, resume always uses the LAST
+        `ckpt/`).  The reference had neither best-tracking nor resume —
+        it overwrote one model.ckpt every 10 epochs
+        (`train_n_est_w_experts.py:247-250`)."""
+        return os.path.join(self.path, "ckpt_best")
+
     def results_dir(self, dataset_name: str) -> str:
         d = os.path.join(self.path, f"{dataset_name}_results")
         os.makedirs(d, exist_ok=True)

@@ -149,17 +149,23 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
 
     import json
 
+    # Serving prefers the best-validation checkpoint when the trainer
+    # wrote one (resume-training always uses the last `ckpt/`).
+    ckpt_dir = rd.ckpt_dir
+    best = rd.ckpt_best_dir
+    if os.path.exists(os.path.join(best, ckpt_lib.META_NAME)):
+        ckpt_dir = best
     # Key on the checkpoint's *content identity* — (step, epoch, file)
     # from the meta JSON plus the blob's size and mtime — not on the
     # meta file's mtime alone: coarse (1 s) filesystem mtime granularity
     # would otherwise serve stale weights for a checkpoint overwritten
     # within the same second.
-    ckpt_meta = os.path.join(rd.ckpt_dir, ckpt_lib.META_NAME)
+    ckpt_meta = os.path.join(ckpt_dir, ckpt_lib.META_NAME)
     with open(ckpt_meta) as f:
         meta = json.load(f)
-    blob = os.path.join(rd.ckpt_dir, meta["file"])
+    blob = os.path.join(ckpt_dir, meta["file"])
     blob_stat = os.stat(blob)
-    prefix = (id(model), rd.ckpt_dir, _mesh_key(mesh))
+    prefix = (id(model), ckpt_dir, _mesh_key(mesh))
     cache_key = prefix + (
         meta["step"], meta["epoch"], meta["file"],
         blob_stat.st_size, blob_stat.st_mtime_ns,
@@ -184,7 +190,7 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
     params_t, state_t = jax.eval_shape(model.init, rng, batch)
     opt_t = jax.eval_shape(make_optimizer(cfg).init, params_t)
     params, state, _, _, _ = ckpt_lib.restore(
-        rd.ckpt_dir, params=params_t, state=state_t, opt_state=opt_t
+        ckpt_dir, params=params_t, state=state_t, opt_state=opt_t
     )
     # Restore yields host arrays; move them to device NOW, explicitly.
     # Leaving the transfer to the first jit dispatch ships hundreds of

@@ -230,22 +230,26 @@ class Trainer:
         )
         return mean_loss, rms
 
-    def save_checkpoint(self, epoch: int):
+    def save_checkpoint(self, epoch: int, best: bool = False):
         """Non-blocking: parallel device->host fetch on this thread
         (before the next step can donate the buffers), then msgpack
-        serialization + atomic write on a background thread."""
+        serialization + atomic write on a background thread.
+
+        best=True targets `ckpt_best/` (new-best validation RMS);
+        serving prefers it, resume always uses the last `ckpt/`."""
+        tag = "best checkpoint" if best else "checkpoint"
         self._ckpt_writer.save(
-            self.rundir.ckpt_dir,
+            self.rundir.ckpt_best_dir if best else self.rundir.ckpt_dir,
             params=self.params,
             state=self.state,
             opt_state=self.opt_state,
             step=self.step,
             epoch=epoch,
-            on_done=lambda e: self.rundir.log(
-                f"checkpoint write completed for epoch {e}"
+            on_done=lambda e, _t=tag: self.rundir.log(
+                f"{_t} write completed for epoch {e}"
             ),
         )
-        self.rundir.log(f"checkpoint dispatched at epoch {epoch}")
+        self.rundir.log(f"{tag} dispatched at epoch {epoch}")
 
     def fit(self, max_epoch: int | None = None, resume: bool = True):
         cfg = self.cfg
@@ -254,13 +258,17 @@ class Trainer:
         if self.params is None:
             sample = next(iter(train_loader))
             self.initialize(sample, resume=resume)
+        best_rms = float("inf")
         try:
             for epoch in range(self.start_epoch, max_epoch):
                 train_loader.dataset.set_epoch(epoch)
                 self.train_one_epoch(train_loader, epoch)
-                self.eval_one_epoch(val_loader, val_dataset, epoch)
+                _, rms = self.eval_one_epoch(val_loader, val_dataset, epoch)
                 if epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1:
                     self.save_checkpoint(epoch)
+                if np.isfinite(rms) and rms < best_rms:
+                    best_rms = rms
+                    self.save_checkpoint(epoch, best=True)
         finally:
             # The final (or in-flight) write must land on disk and any
             # background write error must surface even if the loop

@@ -73,6 +73,15 @@ def test_e2e_train_infer_evaluate(tiny_dataset, tmp_path):
                      "metrics.jsonl", "ckpt/model.msgpack", "ckpt/model.meta.json"):
         assert os.path.exists(os.path.join(run_path, artifact)), artifact
 
+    # best-val checkpoint: written on RMS improvement (epoch 0 always
+    # improves over inf) and carrying the best epoch's step, and served
+    # preferentially by restore_model (the inference below reads it).
+    import json as _json
+
+    with open(os.path.join(run_path, "ckpt_best", "model.meta.json")) as f:
+        best_meta = _json.load(f)
+    assert best_meta["epoch"] in (0, 1)
+
     # resume: a new trainer picks up from the checkpoint
     trainer2 = Trainer(cfg, run_dir=RunDir.open(run_path), loader_workers=2)
     train_loader, _, _ = trainer2.make_loaders()
