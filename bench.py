@@ -108,7 +108,10 @@ def reference_proxy_rate(root) -> float:
 
 BENCH_CACHE = "/root/repo/.bench_cache"
 TRAINED_RUN_ENV = "NESTINET_BENCH_RUN"
-TRAINED_RUN_DEFAULT = "/root/repo/log/moe_synth"
+TRAINED_RUN_DEFAULTS = (
+    "/root/repo/log/moe_synth60",  # 60-epoch run with best-val checkpoint
+    "/root/repo/log/moe_synth",
+)
 
 
 def _find_trained_run() -> str | None:
@@ -124,13 +127,14 @@ def _find_trained_run() -> str | None:
     env = os.environ.get(TRAINED_RUN_ENV)
     if env:
         cands.append(env)
-    base = TRAINED_RUN_DEFAULT
-    if os.path.isdir(base):
-        subs = sorted(
-            (d for d in os.listdir(base) if d.isdigit()), key=int, reverse=True
-        )
-        cands.extend(os.path.join(base, d) for d in subs)
-        cands.append(base)
+    for base in TRAINED_RUN_DEFAULTS:
+        if os.path.isdir(base):
+            subs = sorted(
+                (d for d in os.listdir(base) if d.isdigit()), key=int,
+                reverse=True,
+            )
+            cands.extend(os.path.join(base, d) for d in subs)
+            cands.append(base)
     for cand in cands:
         if not os.path.exists(os.path.join(cand, "ckpt", "model.msgpack")):
             continue
