@@ -95,3 +95,19 @@ def test_builder_layout(tmp_path):
     clean = np.loadtxt(os.path.join(tmp_path, "sphere_t.normals"))
     noisy = np.loadtxt(os.path.join(tmp_path, "sphere_t_wn_medium.normals"))
     np.testing.assert_allclose(clean, noisy)
+
+    # train/val lists carry per-shape noise sigmas for the switching
+    # trainer (`<list>_noise_levels.txt`, pcpnet_dataset.py:223-233)
+    for list_name in ("trainingset_whitenoise.txt", "validationset.txt"):
+        names = sets[list_name]
+        levels = np.loadtxt(
+            os.path.join(tmp_path, list_name[:-4] + "_noise_levels.txt")
+        )
+        assert levels.shape == (len(names),)
+        for n, lvl in zip(names, levels):
+            if n.endswith("_noise_med"):
+                assert lvl == syn.NOISE_LEVELS["medium"]
+            elif n.endswith("_noise_lrg"):
+                assert lvl == syn.NOISE_LEVELS["large"]
+            else:
+                assert lvl == 0.0
