@@ -49,11 +49,15 @@ def main(argv=None):
                         "(~2.3x fewer FLOPs, fastest measured mode); "
                         "dense: all experts in one compiled program, "
                         "identical outputs (reference execution design)")
-    p.add_argument("--compute_dtype", type=str, default=None,
-                   choices=[None, "float32", "bfloat16"],
-                   help="override the CNN compute dtype for serving "
-                        "(params stay float32; bfloat16 is the fastest "
-                        "measured serving dtype)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="CNN compute dtype for serving (params stay "
+                        "float32). bfloat16 is the default: fastest "
+                        "measured mode, and on the trained flagship its "
+                        "clean-testset RMS delta vs float32 is 0.004 deg "
+                        "(QUALITY.md) — far inside the +-0.1 deg parity "
+                        "bar. float32 reproduces training numerics "
+                        "exactly.")
     args = p.parse_args(argv)
 
     if args.extraction == "device":
