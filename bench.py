@@ -62,26 +62,17 @@ REF_PROBE_PATCHES = 512
 
 def make_shape(root, n_points, seed=0):
     """Two shapes (sphere + torus): single-shape 20k-patch passes were
-    noise-dominated through the relay (repeat spread >30%)."""
+    noise-dominated through the relay (repeat spread >30%).  Geometry
+    comes from the unit-tested generators in data/synthetic.py (one
+    torus implementation in the repo, not two)."""
+    from nestinet_tpu.data import synthetic as syn
+
     rng = np.random.RandomState(seed)
-    v = rng.randn(n_points, 3)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    pts = v + 0.002 * rng.randn(n_points, 3)
-    np.savetxt(os.path.join(root, "bench_sphere.xyz"), pts)
-    np.savetxt(os.path.join(root, "bench_sphere.normals"), v)
-    u, w = rng.uniform(0, 2 * np.pi, (2, n_points))
-    R0, r0 = 1.0, 0.4
-    tor = np.stack([
-        (R0 + r0 * np.cos(w)) * np.cos(u),
-        (R0 + r0 * np.cos(w)) * np.sin(u),
-        r0 * np.sin(w),
-    ], axis=1)
-    tnrm = np.stack([
-        np.cos(w) * np.cos(u), np.cos(w) * np.sin(u), np.sin(w)
-    ], axis=1)
-    np.savetxt(os.path.join(root, "bench_torus.xyz"),
-               tor + 0.002 * rng.randn(n_points, 3))
-    np.savetxt(os.path.join(root, "bench_torus.normals"), tnrm)
+    for name, gen in (("bench_sphere", syn.sphere), ("bench_torus", syn.torus)):
+        pts, nrm = gen(n_points, rng)
+        np.savetxt(os.path.join(root, name + ".xyz"),
+                   pts + 0.002 * rng.randn(n_points, 3))
+        np.savetxt(os.path.join(root, name + ".normals"), nrm)
     with open(os.path.join(root, "benchset.txt"), "w") as f:
         f.write("bench_sphere\nbench_torus\n")
 

@@ -63,6 +63,14 @@ def main(argv=None):
     if args.extraction == "device":
         from ..infer.device_pipeline import predict_shapes_device
 
+        if args.data_parallel > 1:
+            # Silently running single-device would change throughput ~Nx
+            # vs the host path, which honors the flag.
+            raise SystemExit(
+                "--extraction=device does not support --data_parallel yet; "
+                "use the host extraction path for data-parallel serving"
+            )
+
         stats = predict_shapes_device(
             args.results_path,
             dataset_name=args.dataset_name,

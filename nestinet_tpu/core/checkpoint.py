@@ -91,9 +91,15 @@ class AsyncCheckpointer:
             err, self._error = self._error, None
             raise err
 
-    def save(self, ckpt_dir: str, *, params, state, opt_state, step: int,
+    def save(self, ckpt_dir, *, params, state, opt_state, step: int,
              epoch: int, keep_history: bool = False, on_done=None) -> None:
+        """`ckpt_dir` may be a single directory or a sequence of them:
+        the trees are fetched from device ONCE and the identical payload
+        is written to every target (an epoch that is both a periodic and
+        a new-best checkpoint would otherwise pay the multi-GB
+        device->host fetch and msgpack encode twice)."""
         self.wait()
+        dirs = [ckpt_dir] if isinstance(ckpt_dir, str) else list(ckpt_dir)
         # copy=True: the caller's train step donates these buffers; a
         # zero-copy view would let step N+1 overwrite memory the writer
         # thread is still serializing (silent checkpoint corruption on
@@ -106,8 +112,9 @@ class AsyncCheckpointer:
 
         def _write():
             try:
-                _write_payload(ckpt_dir, host, step=step, epoch=epoch,
-                               keep_history=keep_history)
+                for d in dirs:
+                    _write_payload(d, host, step=step, epoch=epoch,
+                                   keep_history=keep_history)
                 if on_done is not None:
                     on_done(epoch)
             except BaseException as e:  # surfaced on the next wait()

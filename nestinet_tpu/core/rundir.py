@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 
@@ -33,6 +34,10 @@ class RunDir:
         self._log_file = None
         self._metrics_file = None
         self._tb = None
+        # log()/metrics() are called from the training thread AND the
+        # AsyncCheckpointer's writer thread (on_done callbacks); the
+        # lock serializes the lazy file opens and appends.
+        self._io_lock = threading.Lock()
 
     # ---- creation ----
     @staticmethod
@@ -86,34 +91,40 @@ class RunDir:
             f.write(desc + "\n")
 
     def log(self, msg: str) -> None:
-        """Append to log_train.txt and echo to stdout."""
-        if self._log_file is None:
-            self._log_file = open(os.path.join(self.path, "log_train.txt"), "a")
-        self._log_file.write(msg + "\n")
-        self._log_file.flush()
+        """Append to log_train.txt and echo to stdout (thread-safe)."""
+        with self._io_lock:
+            if self._log_file is None:
+                self._log_file = open(
+                    os.path.join(self.path, "log_train.txt"), "a"
+                )
+            self._log_file.write(msg + "\n")
+            self._log_file.flush()
         print(msg, flush=True)
 
     def metrics(self, **scalars) -> None:
         """Append one JSON line of scalars AND mirror numeric values to
         the TensorBoard event file under tags `<kind>/<key>` (stepped by
-        the record's `step` when present)."""
-        if self._metrics_file is None:
-            self._metrics_file = open(os.path.join(self.path, "metrics.jsonl"), "a")
-        record = {"time": time.time()}
-        record.update(scalars)
-        self._metrics_file.write(json.dumps(record) + "\n")
-        self._metrics_file.flush()
-        if self._tb is None:
-            from .tb import EventWriter
+        the record's `step` when present).  Thread-safe."""
+        with self._io_lock:
+            if self._metrics_file is None:
+                self._metrics_file = open(
+                    os.path.join(self.path, "metrics.jsonl"), "a"
+                )
+            record = {"time": time.time()}
+            record.update(scalars)
+            self._metrics_file.write(json.dumps(record) + "\n")
+            self._metrics_file.flush()
+            if self._tb is None:
+                from .tb import EventWriter
 
-            self._tb = EventWriter(os.path.join(self.path, "tb"))
-        kind = scalars.get("kind", "")
-        step = int(scalars.get("step", 0))
-        self._tb.scalars(
-            str(kind),
-            {k: v for k, v in scalars.items() if k not in ("kind", "step")},
-            step,
-        )
+                self._tb = EventWriter(os.path.join(self.path, "tb"))
+            kind = scalars.get("kind", "")
+            step = int(scalars.get("step", 0))
+            self._tb.scalars(
+                str(kind),
+                {k: v for k, v in scalars.items() if k not in ("kind", "step")},
+                step,
+            )
 
     def close(self) -> None:
         for f in (self._log_file, self._metrics_file, self._tb):

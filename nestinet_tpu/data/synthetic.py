@@ -226,7 +226,13 @@ def build_protocol_benchmark(
     sets: dict[str, list] = {}
 
     def gen(name, n=n_points, salt=0):
-        r = np.random.RandomState((hash((name, salt, seed)) & 0x7FFFFFFF))
+        # crc32, not hash(): Python's str hash is randomized per process
+        # (PYTHONHASHSEED), which would silently make the "seeded"
+        # benchmark irreproducible across runs/hosts.
+        import zlib
+
+        key = zlib.crc32(f"{name}/{salt}/{seed}".encode()) & 0x7FFFFFFF
+        r = np.random.RandomState(key)
         return SHAPE_GENERATORS[name](n, r)
 
     # train / val: clean + noisy copies (GT normals of the clean points)

@@ -440,7 +440,13 @@ class SparseMoeRouter:
         # bench set; 2603 -> 2826 patches/s), small enough that the
         # donated FIFO stays moderate at bf16 (64 slots x 256 measured
         # SLOWER — HBM pressure).
-        self.W = window_slots if window_slots else max(2, 8192 // batch_size)
+        # W >= 2 is a correctness floor, not a tuning choice: at W=1 the
+        # slot written by batch i is evicted-and-overwritten before the
+        # depth-delayed manager drain ever buckets batch i's entries, so
+        # every expert would read the WRONG grid (silently).
+        self.W = max(2, window_slots) if window_slots else max(
+            2, 8192 // batch_size
+        )
         self.expert_fns = {
             gi: _serving_jit(
                 model,

@@ -230,16 +230,27 @@ class Trainer:
         )
         return mean_loss, rms
 
-    def save_checkpoint(self, epoch: int, best: bool = False):
+    def save_checkpoint(self, epoch: int, periodic: bool = True,
+                        best: bool = False):
         """Non-blocking: parallel device->host fetch on this thread
         (before the next step can donate the buffers), then msgpack
         serialization + atomic write on a background thread.
 
-        best=True targets `ckpt_best/` (new-best validation RMS);
-        serving prefers it, resume always uses the last `ckpt/`."""
-        tag = "best checkpoint" if best else "checkpoint"
+        periodic targets `ckpt/` (the resume checkpoint); best targets
+        `ckpt_best/` (new-best validation RMS — serving prefers it).
+        Both in one call share a single device fetch + encode."""
+        dirs, tags = [], []
+        if periodic:
+            dirs.append(self.rundir.ckpt_dir)
+            tags.append("checkpoint")
+        if best:
+            dirs.append(self.rundir.ckpt_best_dir)
+            tags.append("best checkpoint")
+        if not dirs:
+            return
+        tag = " + ".join(tags)
         self._ckpt_writer.save(
-            self.rundir.ckpt_best_dir if best else self.rundir.ckpt_dir,
+            dirs,
             params=self.params,
             state=self.state,
             opt_state=self.opt_state,
@@ -251,6 +262,28 @@ class Trainer:
         )
         self.rundir.log(f"{tag} dispatched at epoch {epoch}")
 
+    def _historical_best_rms(self) -> float:
+        """Minimum eval RMS recorded in this run's metrics.jsonl (inf if
+        none) — the resume-time seed for best-checkpoint tracking."""
+        import json
+
+        best = float("inf")
+        path = os.path.join(self.rundir.path, "metrics.jsonl")
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("kind") == "eval":
+                        rms = rec.get("rms_deg")
+                        if rms is not None and np.isfinite(rms):
+                            best = min(best, float(rms))
+        except OSError:
+            pass
+        return best
+
     def fit(self, max_epoch: int | None = None, resume: bool = True):
         cfg = self.cfg
         max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
@@ -258,17 +291,23 @@ class Trainer:
         if self.params is None:
             sample = next(iter(train_loader))
             self.initialize(sample, resume=resume)
-        best_rms = float("inf")
+        # Resume must not regress ckpt_best: seed the best-so-far RMS
+        # from the run's own metrics history, so a resumed run only
+        # overwrites ckpt_best on a genuine all-time improvement.
+        best_rms = self._historical_best_rms() if self.start_epoch else float("inf")
         try:
             for epoch in range(self.start_epoch, max_epoch):
                 train_loader.dataset.set_epoch(epoch)
                 self.train_one_epoch(train_loader, epoch)
                 _, rms = self.eval_one_epoch(val_loader, val_dataset, epoch)
-                if epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1:
-                    self.save_checkpoint(epoch)
-                if np.isfinite(rms) and rms < best_rms:
+                periodic = (
+                    epoch % cfg.checkpoint_every == 0 or epoch == max_epoch - 1
+                )
+                improved = np.isfinite(rms) and rms < best_rms
+                if improved:
                     best_rms = rms
-                    self.save_checkpoint(epoch, best=True)
+                if periodic or improved:
+                    self.save_checkpoint(epoch, periodic=periodic, best=improved)
         finally:
             # The final (or in-flight) write must land on disk and any
             # background write error must surface even if the loop

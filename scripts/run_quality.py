@@ -44,6 +44,10 @@ def main():
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    # The serving trace injects nested dicts into cli.test's stats JSON,
+    # which would break the brace-scan parse below — and tracing every
+    # protocol pass is noise anyway.
+    env.pop("NESTINET_SERVING_TRACE", None)
     results_dir = os.path.join(args.run_dir, f"{args.results_name}_results")
 
     rates = {}
@@ -68,14 +72,23 @@ def main():
         if out.returncode != 0:
             print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
             sys.exit(f"cli.test failed on {ts}")
-        # the CLI prints a JSON report as its last {...} block
-        tail = out.stdout[out.stdout.rfind("{"):]
-        try:
-            rates[ts] = json.loads(tail).get("patches_per_sec")
-        except json.JSONDecodeError:
-            rates[ts] = None
+        # the CLI prints a JSON report as its last {...} block; scan
+        # candidate start braces from the end so nested objects inside
+        # the report don't break the parse.
+        rates[ts] = None
+        pos = len(out.stdout)
+        while True:
+            pos = out.stdout.rfind("{", 0, pos)
+            if pos < 0:
+                break
+            try:
+                rates[ts] = json.loads(out.stdout[pos:]).get("patches_per_sec")
+                break
+            except json.JSONDecodeError:
+                continue
+        shown = "?" if rates[ts] is None else round(rates[ts])
         print(f"[quality] {ts}: tested in {time.perf_counter()-t0:.1f}s "
-              f"({rates[ts] and round(rates[ts]) or '?'} patches/s)",
+              f"({shown} patches/s)",
               file=sys.stderr, flush=True)
 
     ev = subprocess.run(
