@@ -315,11 +315,12 @@ def main():
             # manager fused into program A, argmax expert via the
             # routing FIFO — removes both the 1-core host extraction
             # ceiling (~3k patches/s) and the 6 skipped experts.
+            # (device_dense / sparse_float32 were measured consistently
+            # slower — docs/PERF.md — and are dropped here to keep the
+            # bench inside the driver's wall budget.)
             ("device_sparse", "bfloat16"),
             ("sparse", "bfloat16"),
             ("dense", "bfloat16"),
-            ("device_dense", "bfloat16"),
-            ("sparse", "float32"),
         ]
         for mode, dtype in sweep:
             name = f"{mode}_{dtype or 'cfg'}"
