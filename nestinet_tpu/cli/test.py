@@ -50,7 +50,7 @@ def main(argv=None):
                         "dense: all experts in one compiled program, "
                         "identical outputs (reference execution design)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="CNN compute dtype for serving (params stay "
                         "float32). bfloat16 is the default: fastest "
                         "measured mode, and on the trained flagship its "

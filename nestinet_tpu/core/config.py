@@ -73,7 +73,7 @@ class Config:
     # TPU execution
     data_parallel: int = 1  # chips along the batch ("data") mesh axis
     expert_parallel: int = 1  # chips along the expert mesh axis (MoE only)
-    compute_dtype: str = "float32"  # CNN compute dtype: float32 | bfloat16
+    compute_dtype: str = "float32"  # CNN compute: float32 | bfloat16 | int8 (serving only)
     # MuPS statistics implementation: "auto" picks the fused Pallas
     # kernel on TPU backends and the XLA broadcast+reduce path elsewhere.
     mups_impl: str = "auto"  # auto | jnp | pallas

@@ -39,7 +39,14 @@ class ModelBase:
         self._mu = np.asarray(mu, np.float32)
         self._sigma = np.asarray(sigma, np.float32)
         self.resolution = gmm.resolution
-        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        # int8: MAC-heavy conv/matmul inner products run quantized on the
+        # MXU (ops/quant.py); everything elementwise stays in bfloat16.
+        self.quantize = cfg.compute_dtype == "int8"
+        self.compute_dtype = (
+            jnp.bfloat16
+            if cfg.compute_dtype in ("bfloat16", "int8")
+            else jnp.float32
+        )
         impl = getattr(cfg, "mups_impl", "auto")
         if impl == "auto":
             # Resolved at model-construction time (host side): the fused
@@ -50,6 +57,14 @@ class ModelBase:
         self.mups_impl = impl
 
     # ---- shared pieces ----
+    def quant_ctx(self, is_training: bool = False):
+        """Trace-time context enabling int8 conv/matmul kernels in the
+        wrapped CNN apply when cfg.compute_dtype == "int8" (serving
+        only — training always runs the float path)."""
+        from ..ops import quant
+
+        return quant.quantized(self.quantize and not is_training)
+
     def _mups_grid(self, points, n_eff):
         """[B, res, res, res, 20 * n_scales] statistics grid (float32)."""
         return mups(

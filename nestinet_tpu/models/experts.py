@@ -151,23 +151,25 @@ class ExpertsNormEst(ModelBase):
             self.compute_dtype
         )
         new_state = {}
-        experts_prob, new_state["manager"] = self._manager.apply(
-            params["manager"], state["manager"], None, grid, is_training, bn_momentum
-        )  # [E, B]
+        with self.quant_ctx(is_training):
+            experts_prob, new_state["manager"] = self._manager.apply(
+                params["manager"], state["manager"], None, grid, is_training,
+                bn_momentum,
+            )  # [E, B]
 
-        per_expert = [None] * self.n_experts
-        for gi, group in enumerate(self.groups):
-            fwd = self._expert_fwd[group.n_scales]
-            xs = self._group_inputs(grid, group)  # [G,B,...]
+            per_expert = [None] * self.n_experts
+            for gi, group in enumerate(self.groups):
+                fwd = self._expert_fwd[group.n_scales]
+                xs = self._group_inputs(grid, group)  # [G,B,...]
 
-            def one(p, s, x, _fwd=fwd):
-                return _fwd.apply(p, s, None, x, is_training, bn_momentum)
+                def one(p, s, x, _fwd=fwd):
+                    return _fwd.apply(p, s, None, x, is_training, bn_momentum)
 
-            outs, new_state[f"group{gi}"] = jax.vmap(one)(
-                params[f"group{gi}"], state[f"group{gi}"], xs
-            )  # [G,B,3]
-            for j, i in enumerate(group.indices):
-                per_expert[i] = outs[j]
+                outs, new_state[f"group{gi}"] = jax.vmap(one)(
+                    params[f"group{gi}"], state[f"group{gi}"], xs
+                )  # [G,B,3]
+                for j, i in enumerate(group.indices):
+                    per_expert[i] = outs[j]
         n_pred = jnp.stack(per_expert)  # [E,B,3] in reference expert order
 
         return {"n_pred": n_pred, "experts_prob": experts_prob}, new_state
@@ -187,9 +189,10 @@ class ExpertsNormEst(ModelBase):
         grid = self._mups_grid(batch["points"], batch["n_eff"]).astype(
             self.compute_dtype
         )
-        probs, _ = self._manager.apply(
-            params["manager"], state["manager"], None, grid, False, 0.0
-        )
+        with self.quant_ctx():
+            probs, _ = self._manager.apply(
+                params["manager"], state["manager"], None, grid, False, 0.0
+            )
         return probs
 
     def apply_expert_member(self, params, state, batch, group_index: int, member):
@@ -215,9 +218,10 @@ class ExpertsNormEst(ModelBase):
 
     def apply_manager_on_grid(self, params, state, grid):
         """Manager CNN on a precomputed MuPS grid -> probs [E, B]."""
-        probs, _ = self._manager.apply(
-            params["manager"], state["manager"], None, grid, False, 0.0
-        )
+        with self.quant_ctx():
+            probs, _ = self._manager.apply(
+                params["manager"], state["manager"], None, grid, False, 0.0
+            )
         return probs
 
     def apply_expert_member_on_grid(self, params, state, grid,
@@ -240,7 +244,10 @@ class ExpertsNormEst(ModelBase):
         pick = lambda a: jax.lax.dynamic_index_in_dim(a, member, 0, keepdims=False)
         p = jax.tree.map(pick, params[f"group{group_index}"])
         s = jax.tree.map(pick, state[f"group{group_index}"])
-        out, _ = self._expert_fwd[group.n_scales].apply(p, s, None, x, False, 0.0)
+        with self.quant_ctx():
+            out, _ = self._expert_fwd[group.n_scales].apply(
+                p, s, None, x, False, 0.0
+            )
         return out
 
     def expert_to_group(self):

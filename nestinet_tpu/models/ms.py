@@ -51,9 +51,11 @@ class MSNormEst(ModelBase):
         )
 
     def apply(self, params, state, rng, batch, is_training, bn_momentum):
-        n_est, new_state = self._fwd.apply(
-            params, state, rng, batch["points"], batch["n_eff"], is_training, bn_momentum
-        )
+        with self.quant_ctx(is_training):
+            n_est, new_state = self._fwd.apply(
+                params, state, rng, batch["points"], batch["n_eff"],
+                is_training, bn_momentum,
+            )
         return {"n_pred": n_est}, new_state
 
     def loss(self, outputs, batch):

@@ -67,9 +67,11 @@ class SwitchingNormEst(ModelBase):
         )
 
     def apply(self, params, state, rng, batch, is_training, bn_momentum):
-        (noise_est, n_est), new_state = self._fwd.apply(
-            params, state, rng, batch["points"], batch["n_eff"], is_training, bn_momentum
-        )
+        with self.quant_ctx(is_training):
+            (noise_est, n_est), new_state = self._fwd.apply(
+                params, state, rng, batch["points"], batch["n_eff"],
+                is_training, bn_momentum,
+            )
         return {"n_pred": n_est, "noise_pred": noise_est}, new_state
 
     def loss(self, outputs, batch):

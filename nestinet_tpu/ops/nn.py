@@ -30,6 +30,8 @@ import haiku as hk
 import jax
 import jax.numpy as jnp
 
+from . import quant
+
 # Xavier / Glorot uniform, matching tf.contrib.layers.xavier_initializer.
 xavier_uniform = hk.initializers.VarianceScaling(1.0, "fan_avg", "uniform")
 
@@ -97,6 +99,11 @@ class _Conv3DParamF32(hk.Module):
             "w", self.kernel + (cin, self.out), jnp.float32, init=xavier_uniform
         )
         b = hk.get_parameter("b", [self.out], jnp.float32, init=jnp.zeros)
+        if quant.enabled():
+            return quant.conv_nd_int8(
+                x, w, b, window_strides=self.stride,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         out = jax.lax.conv_general_dilated(
             x,
             w.astype(x.dtype),
@@ -120,6 +127,8 @@ class _LinearParamF32(hk.Module):
             "w", [x.shape[-1], self.units], jnp.float32, init=xavier_uniform
         )
         b = hk.get_parameter("b", [self.units], jnp.float32, init=jnp.zeros)
+        if quant.enabled():
+            return quant.linear_int8(x, w, b)
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 

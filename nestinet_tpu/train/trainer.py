@@ -286,6 +286,12 @@ class Trainer:
 
     def fit(self, max_epoch: int | None = None, resume: bool = True):
         cfg = self.cfg
+        if cfg.compute_dtype == "int8":
+            raise ValueError(
+                "compute_dtype='int8' is a serving-only mode (post-training "
+                "dynamic quantization, ops/quant.py); train in float32 or "
+                "bfloat16 and pass --compute_dtype int8 at test time."
+            )
         max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
         train_loader, val_loader, val_dataset = self.make_loaders()
         if self.params is None:
