@@ -96,6 +96,23 @@ def test_device_sparse_patches_matches_host(run_with_data):
     assert gap.max() < 0.5, f"max direction gap {gap.max():.4f} deg"
 
 
+def test_device_pipeline_int8_smoke(run_with_data):
+    """The bench's int8 sweep entry — device extraction + int8 CNN MACs
+    (ops/quant.py) — must compose: same program structure as bf16, conv/
+    matmul inner products emitted as s8xs8->s32.  Untrained weights make
+    a numeric int8-vs-float comparison meaningless here (tests/test_int8
+    pins closeness on bounded nets); this pins that the pipeline runs
+    and produces usable directions."""
+    root, run_path = run_with_data
+    out = predict_shapes_device(run_path, dataset_name="dev_int8",
+                                testset="mini.txt", data_path=root,
+                                batch_size=16, compute_dtype="int8")
+    d = np.loadtxt(os.path.join(out["output_dir"], "s.normals"))
+    assert d.shape == (400, 3)
+    assert np.isfinite(d).all()
+    assert (np.linalg.norm(d, axis=1) > 0).all()
+
+
 def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
     """MoE variant writes .experts/.experts_probs through the device
     path too."""
