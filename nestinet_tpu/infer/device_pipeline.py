@@ -13,9 +13,13 @@ multi-MB patch tensors, and the kd-tree never runs on the host — the
 SURVEY §7 "north star" path for streaming scans.
 
 Neighbor-selection parity: the reference randomly subsamples balls
-larger than `points_per_patch` (`pcpnet_dataset.py:319-321`); here the
-cloud is pre-shuffled once per shape so the grid's first-k selection is
-a uniform subsample as well (same distribution, different stream).
+larger than `points_per_patch` (`pcpnet_dataset.py:319-321`), a fresh
+independent draw per patch.  The ball query does the same on device: a
+per-(batch, scale) seed hashes every (query, candidate) pair and top-k
+over those keys draws a uniform k-subset per query
+(`ops/ball_query.py::_ball_query_sorted`).  The per-shape pre-shuffle
+stays as defense-in-depth for the rare cell whose occupancy exceeds the
+capacity cap (capped cells truncate candidates in storage order).
 """
 
 from __future__ import annotations
@@ -62,12 +66,13 @@ def make_device_forward(model, n_scales, *, num_point, cell_capacity):
         (cell_capacity,) * n_scales
     )
 
-    def fwd(params, state, grids, queries, radii):
+    def fwd(params, state, grids, queries, radii, seed):
         pts_scales, neff_scales = [], []
         for i in range(n_scales):
             p, ne = extract_patches(
                 grids[i], queries, radii[i], k=num_point,
                 cell_capacity=caps[i], center="point",
+                seed=seed + jnp.uint32(0x85EBCA6B) * jnp.uint32(i),
             )
             pts_scales.append(p)
             neff_scales.append(ne)
@@ -105,12 +110,13 @@ def make_device_manager_store(model, n_scales, *, num_point, cell_capacity):
         (cell_capacity,) * n_scales
     )
 
-    def manager_store(params, state, grids, queries, radii, buf, slot):
+    def manager_store(params, state, grids, queries, radii, seed, buf, slot):
         pts_scales, neff_scales = [], []
         for i in range(n_scales):
             p, ne = extract_patches(
                 grids[i], queries, radii[i], k=num_point,
                 cell_capacity=caps[i], center="point",
+                seed=seed + jnp.uint32(0x85EBCA6B) * jnp.uint32(i),
             )
             pts_scales.append(p)
             neff_scales.append(ne)
@@ -124,7 +130,7 @@ def make_device_manager_store(model, n_scales, *, num_point, cell_capacity):
         )
         return probs, buf
 
-    return jax.jit(manager_store, donate_argnums=(5,))
+    return jax.jit(manager_store, donate_argnums=(6,))
 
 
 def predict_shapes_device(
@@ -216,13 +222,14 @@ def predict_shapes_device(
         )
         fwd, is_moe = _serving_jit(
             model,
-            f"device_fwd_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
+            f"device_fwd2_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
             lambda: make_device_forward(
                 model, len(radii_abs), num_point=cfg.num_point,
                 cell_capacity=caps,
             ),
         )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
+        shape_salt = rng.randint(0, 2**31)
         qpts = cloud if qidx is None else cloud[qidx]
 
         pending = None
@@ -246,7 +253,9 @@ def predict_shapes_device(
                 q = np.concatenate(
                     [q, np.zeros((batch_size - real, 3), np.float32)]
                 )
-            outs = fwd(params, state, grids, jnp.asarray(q), radii_dev)
+            # fresh uniform ball draw per batch, deterministic per run
+            bseed = jnp.uint32((shape_salt + start) & 0xFFFFFFFF)
+            outs = fwd(params, state, grids, jnp.asarray(q), radii_dev, bseed)
             try:  # start the device->host copy behind the next dispatch
                 outs.copy_to_host_async()
             except Exception:
@@ -305,13 +314,14 @@ def _predict_sparse_device(
             )
         mgr = _serving_jit(
             model,
-            f"device_manager_store_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
+            f"device_manager_store2_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
             lambda: make_device_manager_store(
                 model, len(radii_abs), num_point=cfg.num_point,
                 cell_capacity=caps,
             ),
         )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
+        shape_salt = rng.randint(0, 2**31)
         qpts = cloud if qidx is None else cloud[qidx]
 
         for start in range(0, qpts.shape[0], batch_size):
@@ -322,9 +332,10 @@ def _predict_sparse_device(
                     [q, np.zeros((batch_size - real, 3), np.float32)]
                 )
             slot = router.begin_batch()
+            bseed = jnp.uint32((shape_salt + start) & 0xFFFFFFFF)
             with trace("manager_dispatch"):
                 probs_dev, buf = mgr(
-                    params, state, grids, jnp.asarray(q), radii_dev,
+                    params, state, grids, jnp.asarray(q), radii_dev, bseed,
                     router.buf, slot,
                 )
             router.commit(real, probs_dev, buf)

@@ -22,10 +22,13 @@ Caps and parity:
     max occupancy so callers can re-build with a larger cap).
   * The reference randomly subsamples when a ball exceeds
     `points_per_patch` and zero-pads below it
-    (`pcpnet_dataset.py:319-330`); here selection order follows the
-    (shuffled) sorted point order — distributionally equivalent when
-    the builder is given a permuted cloud, exact parity tests compare
-    SETS of neighbors against scipy.
+    (`pcpnet_dataset.py:319-330`).  With `seed=None` selection here is
+    first-k in candidate-lane order — deterministic but spatially
+    biased toward the low-offset neighbor cells when the ball is
+    oversized.  Passing a `seed` draws a UNIFORM k-subset of the ball
+    per query (top-k over per-(query, candidate) hash keys), matching
+    the host path's independent `rng.choice` per patch; exact parity
+    tests compare SETS of neighbors against scipy either way.
 """
 
 from __future__ import annotations
@@ -86,6 +89,15 @@ def build_grid(points: jnp.ndarray, radius, *, max_dim: int = 64) -> HashGrid:
     )
 
 
+def _mix32(x):
+    """murmur3 fmix32 — a uint32 bijective finalizer with good
+    avalanche; used to derive per-(query, candidate) uniform keys."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 @partial(jax.jit, static_argnames=("k", "cell_capacity"))
 def ball_query(
     grid: HashGrid,
@@ -94,6 +106,7 @@ def ball_query(
     *,
     k: int,
     cell_capacity: int = 64,
+    seed=None,
 ):
     """Fixed-radius neighbors of each query point.
 
@@ -103,19 +116,23 @@ def ball_query(
         radius: search radius (<= grid cell size).
         k: neighbors returned per query (zero-padded).
         cell_capacity: candidates read per neighboring cell.
+        seed: optional uint32 scalar; when given, oversized balls are
+            subsampled uniformly (independent per query) instead of
+            first-k in lane order — the reference's per-patch random
+            subsample (`pcpnet_dataset.py:319-321`).
 
     Returns:
         idx   [B, k] int32 indices into the ORIGINAL cloud (0-padded),
         n_eff [B]    int32 true neighbor count (clipped at k).
     """
     sorted_rows, took_hit, n_eff = _ball_query_sorted(
-        grid, queries, radius, k=k, cell_capacity=cell_capacity
+        grid, queries, radius, k=k, cell_capacity=cell_capacity, seed=seed
     )
     idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
     return idx.astype(jnp.int32), n_eff
 
 
-def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity):
+def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity, seed=None):
     """ball_query, but returning positions in the grid's SORTED point
     array ([B, k] rows + hit mask + n_eff) — callers that gather from
     `grid.points` directly (extract_patches) skip the inverse-
@@ -164,16 +181,41 @@ def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity):
     hit = valid & (d2 <= radius * radius)
     n_eff = jnp.minimum(jnp.sum(hit, axis=1), k).astype(jnp.int32)
 
-    # Compact the first k hits.  top_k over a lane-ordered key replaces
-    # a full stable argsort of all 27*cell_capacity lanes: hits get
-    # distinct descending keys in lane order (so top_k returns exactly
-    # the first k hits, in order), misses get key 0 and are masked out.
-    n_lanes = hit.shape[1]
-    lane_key = jnp.arange(n_lanes, 0, -1, dtype=jnp.int32)  # n_lanes..1
-    key = jnp.where(hit, lane_key[None], 0)
+    # Compact k hits via top_k over a positive key (misses get key 0 and
+    # are masked out — `vals > 0` <=> real hit).
+    if seed is None:
+        # Deterministic first-k in lane order: hits get distinct
+        # descending keys, so top_k returns exactly the first k hits in
+        # order.  NOTE: lanes enumerate the 27-cell window spatially, so
+        # oversized balls get a corner-biased subsample — pass a seed
+        # for the reference's uniform draw.
+        n_lanes = hit.shape[1]
+        lane_key = jnp.arange(n_lanes, 0, -1, dtype=jnp.int32)  # n_lanes..1
+        key = jnp.where(hit, lane_key[None], 0)
+    else:
+        # Uniform k-subset per query: each (query, candidate) pair gets
+        # an i.i.d.-uniform hash key, so the top-k hits are a uniform
+        # without-replacement draw from the ball — independent across
+        # queries (the host path's per-patch rng.choice,
+        # `pcpnet_dataset.py:319-321`).  Key collisions only tie-break
+        # order among equals, which a set-valued draw doesn't care about.
+        q_salt = _mix32(
+            jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+            + jnp.asarray(seed, jnp.uint32)
+        )
+        h = _mix32(cand.astype(jnp.uint32) ^ q_salt[:, None])
+        key = jnp.where(hit, (h >> jnp.uint32(2)).astype(jnp.int32) | 1, 0)
     vals, take = jax.lax.top_k(key, k)  # [B, k]
     took_hit = vals > 0
     sorted_rows = jnp.take_along_axis(cand, take, axis=1)
+    if seed is not None:
+        # Hash order scatters the downstream row gather; re-sort the
+        # selected rows ascending (patches are permutation-invariant —
+        # MuPS reduces over the point axis) to restore memory locality.
+        rows = jnp.where(took_hit, sorted_rows, jnp.int32(2**31 - 1))
+        rows = jnp.sort(rows, axis=1)
+        took_hit = jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None]
+        sorted_rows = rows
     return jnp.where(took_hit, sorted_rows, 0), took_hit, n_eff
 
 
@@ -185,15 +227,18 @@ def extract_patches(
     k: int,
     cell_capacity: int = 64,
     center: str = "point",
+    seed=None,
 ):
     """Ball query + the reference's patch post-processing on device:
     gather neighbor coordinates, zero-pad, center at the query point (or
     patch mean), scale by 1/radius (`pcpnet_dataset.py:298-343`).
+    `seed` (uint32 scalar) switches oversized-ball subsampling from
+    lane-order first-k to a uniform per-query draw — see `ball_query`.
 
     Returns (patch_points [B, k, 3], n_eff [B]).
     """
     sorted_rows, _, n_eff = _ball_query_sorted(
-        grid, queries, radius, k=k, cell_capacity=cell_capacity
+        grid, queries, radius, k=k, cell_capacity=cell_capacity, seed=seed
     )
     pts = grid.points[sorted_rows]  # [B, k, 3] (sorted-order gather)
     mask = (jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None])[..., None]

@@ -153,10 +153,14 @@ def main():
         out = np.asarray(f(pts, n_eff))
         compile_s = time.time() - t0
         err = np.max(np.abs(out - ref))
+        from nestinet_tpu.core.profiling import fetch_sync
+
         ts = []
         for _ in range(10):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(pts, n_eff))
+            # fetch-sync: block_until_ready returns early on the axon
+            # relay (core/profiling.py::block_sync_reliable)
+            fetch_sync(f(pts, n_eff))
             ts.append(time.perf_counter() - t0)
         ms = statistics.median(ts) * 1e3
         print(f"block_b={bb}: {ms:8.2f} ms  max_err={err:.2e} "

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nestinet_tpu.core.config import Config
+from nestinet_tpu.core.profiling import block_sync_reliable, timed
 from nestinet_tpu.models import build_model
 from nestinet_tpu.ops.ball_query import build_grid, extract_patches, max_cell_occupancy
 from nestinet_tpu.ops.gmm import get_3d_grid_gmm
@@ -34,17 +35,11 @@ RADII = (0.01, 0.03, 0.05)
 NUM_POINT = 512
 N_SHAPE_POINTS = 20_000
 
-
-def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)  # warmup/compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3  # ms
+# `timed` synchronizes with a one-element host fetch (block_until_ready
+# returns early through the axon relay — docs/PERF.md); every figure
+# therefore INCLUDES one relay round trip (~24-35 ms on measured days).
+# block_sync_reliable() is re-probed at startup so a future backend
+# change can't silently flip the numbers to wrong-by-construction.
 
 
 def main():
@@ -55,6 +50,11 @@ def main():
                     help="CNN compute dtype: float32|bfloat16")
     args = ap.parse_args()
     B = args.batch
+
+    # Warn loudly (and record in the transcript) if blocking-sync timing
+    # would have been valid/invalid on this backend; `timed` below uses
+    # fetch-sync regardless.
+    print(f"block_until_ready reliable: {block_sync_reliable()}")
 
     rng = np.random.RandomState(0)
     v = rng.randn(N_SHAPE_POINTS, 3)

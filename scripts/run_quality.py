@@ -4,13 +4,20 @@ Runs the full PCPNet evaluation protocol (`/root/reference/utils/
 evaluate.py:40-41,139-151`) against a trained flagship run on the
 synthetic protocol benchmark (`data/synth_pcpnet`, built by
 `cli.synth` — the real PCPNet download is unreachable from this host,
-see QUALITY.md): `cli.test` per testset (pidx-sparse patches, the
+see QUALITY.md): inference per testset (pidx-sparse patches, the
 reference's eval subset), then one `cli.evaluate` across all six, then
 a markdown table on stdout.
 
+All six testsets run IN ONE PROCESS: the axon relay's compile cache
+does not persist across processes, so the old subprocess-per-testset
+design recompiled the serving programs six times (~20 min of pure
+compile per sweep).  In-process, `infer.predict.load_run` caches the
+model object and its compiled programs across testsets.
+
 Usage:
     python scripts/run_quality.py <run_dir> [--data data/synth_pcpnet]
-        [--dtype bfloat16|float32] [--mode sparse|dense] [--batch 256]
+        [--dtype bfloat16|float32|int8] [--mode sparse|dense]
+        [--extraction host|device] [--batch 256]
 """
 
 import argparse
@@ -42,55 +49,49 @@ def main():
     ap.add_argument("--results_name", default="synthq")
     args = ap.parse_args()
 
-    env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-    # The serving trace injects nested dicts into cli.test's stats JSON,
-    # which would break the brace-scan parse below — and tracing every
-    # protocol pass is noise anyway.
-    env.pop("NESTINET_SERVING_TRACE", None)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.environ.pop("NESTINET_SERVING_TRACE", None)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from nestinet_tpu.infer.predict import predict_shapes
+
     results_dir = os.path.join(args.run_dir, f"{args.results_name}_results")
+    kwargs = dict(
+        dataset_name=args.results_name,
+        data_path=args.data,
+        batch_size=args.batch,
+        sparse_patches=True,
+    )
+    if args.dtype:
+        kwargs["compute_dtype"] = args.dtype
+    if args.mode:
+        kwargs["moe_inference"] = args.mode
+
+    if args.extraction == "device":
+        from nestinet_tpu.infer.device_pipeline import predict_shapes_device
+
+        def run_one(ts):
+            return predict_shapes_device(
+                args.run_dir, testset=f"{ts}.txt", **kwargs
+            )
+    else:
+        def run_one(ts):
+            return predict_shapes(
+                args.run_dir, testset=f"{ts}.txt", loader_workers=8, **kwargs
+            )
 
     rates = {}
     for ts in TESTSETS:
-        cmd = [
-            sys.executable, "-m", "nestinet_tpu.cli.test",
-            "--results_path", args.run_dir,
-            "--dataset_path", args.data,
-            "--dataset_name", args.results_name,
-            "--testset", f"{ts}.txt",
-            "--sparse_patches", "1",
-            "--batch_size", str(args.batch),
-        ]
-        if args.dtype:
-            cmd += ["--compute_dtype", args.dtype]
-        if args.mode:
-            cmd += ["--moe_inference", args.mode]
-        if args.extraction:
-            cmd += ["--extraction", args.extraction]
         t0 = time.perf_counter()
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
-        if out.returncode != 0:
-            print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
-            sys.exit(f"cli.test failed on {ts}")
-        # the CLI prints a JSON report as its last {...} block; scan
-        # candidate start braces from the end so nested objects inside
-        # the report don't break the parse.
-        rates[ts] = None
-        pos = len(out.stdout)
-        while True:
-            pos = out.stdout.rfind("{", 0, pos)
-            if pos < 0:
-                break
-            try:
-                rates[ts] = json.loads(out.stdout[pos:]).get("patches_per_sec")
-                break
-            except json.JSONDecodeError:
-                continue
+        stats = run_one(ts)
+        rates[ts] = stats.get("patches_per_sec")
         shown = "?" if rates[ts] is None else round(rates[ts])
         print(f"[quality] {ts}: tested in {time.perf_counter()-t0:.1f}s "
               f"({shown} patches/s)",
               file=sys.stderr, flush=True)
 
+    # evaluation is host-only numpy; a subprocess keeps this process's
+    # JAX state out of it (and matches how users run the CLI).
     ev = subprocess.run(
         [
             sys.executable, "-m", "nestinet_tpu.cli.evaluate",
@@ -98,7 +99,7 @@ def main():
             "--normal_results_path", results_dir,
             "--dataset_list", *TESTSETS,
         ],
-        env=env, capture_output=True, text=True,
+        env=dict(os.environ), capture_output=True, text=True,
     )
     if ev.returncode != 0:
         print(ev.stdout[-2000:], ev.stderr[-2000:], file=sys.stderr)
@@ -127,6 +128,15 @@ def main():
               f"| {r and round(r) or '—'} |")
     avg = sum(v["rms"] for _, v in rows) / len(rows)
     print(f"\naverage RMS: {avg:.3f} deg")
+    # machine-readable line for bench parity pins (scripts/ consumers)
+    print(json.dumps({
+        "run_dir": args.run_dir,
+        "extraction": args.extraction or "host",
+        "dtype": args.dtype or "default",
+        "mode": args.mode or "default",
+        "rms": {ts: v.get("rms") for ts, v in rows},
+        "avg_rms": avg,
+    }))
 
 
 if __name__ == "__main__":

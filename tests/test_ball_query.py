@@ -88,6 +88,96 @@ def test_extract_patches_semantics(rng):
         assert d.min(axis=1).max() < 1e-5
 
 
+def test_seeded_subsample_is_valid_and_deterministic(rng):
+    """Seeded selection still returns a duplicate-free subset of the
+    true ball with the same n_eff; same seed reproduces, different
+    seeds differ (when the ball is oversized)."""
+    pts, q, radius = _case(rng, m=3000, b=16, radius=0.4)
+    tree = cKDTree(pts)
+    want = [set(s) for s in tree.query_ball_point(q, radius)]
+    grid = build_grid(jnp.asarray(pts), radius, max_dim=16)
+    k = 32
+    outs = {}
+    for seed in (7, 7, 8):
+        idx, n_eff = ball_query(
+            grid, jnp.asarray(q), radius, k=k, cell_capacity=1024,
+            seed=jnp.uint32(seed),
+        )
+        outs.setdefault(seed, []).append((np.asarray(idx), np.asarray(n_eff)))
+    idx7, neff7 = outs[7][0]
+    idx7b, _ = outs[7][1]
+    idx8, neff8 = outs[8][0]
+    np.testing.assert_array_equal(idx7, idx7b)  # deterministic per seed
+    true_counts = np.array([len(s) for s in want])
+    np.testing.assert_array_equal(neff7, np.minimum(true_counts, k))
+    np.testing.assert_array_equal(neff8, neff7)
+    assert np.any(idx7 != idx8), "different seeds drew the same subset"
+    for i in range(q.shape[0]):
+        got = idx7[i, : neff7[i]].tolist()
+        assert len(set(got)) == neff7[i], "duplicate neighbor returned"
+        assert set(got) <= want[i], f"query {i}: selected outside the ball"
+
+
+def test_seeded_subsample_is_spatially_unbiased(rng):
+    """The parity property behind QUALITY.md's device-vs-host gap:
+    lane-order first-k prefers the low-offset neighbor cells (a
+    corner-biased patch), the seeded draw must not.  Aggregated over
+    seeds, the seeded selection's centroid matches the ball centroid
+    while covering every ball member."""
+    m, k = 1200, 64
+    pts = rng.uniform(-1, 1, size=(m, 3)).astype(np.float32) * 0.3
+    q = np.zeros((1, 3), np.float32)
+    radius = 0.3
+    tree = cKDTree(pts)
+    ball = np.array(sorted(tree.query_ball_point(q[0], radius)))
+    assert len(ball) > 4 * k  # heavily oversized: subsampling is active
+    grid = build_grid(jnp.asarray(pts), radius)
+
+    # first-k (seed=None): spatially skewed toward negative offsets
+    idx0, _ = ball_query(grid, jnp.asarray(q), radius, k=k,
+                         cell_capacity=1024)
+    bias0 = np.linalg.norm(pts[np.asarray(idx0)[0]].mean(0)) / radius
+
+    counts = np.zeros(m)
+    cents = []
+    for seed in range(80):
+        idx, n_eff = ball_query(grid, jnp.asarray(q), radius, k=k,
+                                cell_capacity=1024, seed=jnp.uint32(seed))
+        sel = np.asarray(idx)[0, : int(np.asarray(n_eff)[0])]
+        counts[sel] += 1
+        cents.append(pts[sel].mean(0))
+    bias_seeded = np.linalg.norm(np.mean(cents, 0)) / radius
+    assert bias_seeded < 0.05, f"seeded centroid bias {bias_seeded:.3f}"
+    assert bias0 > 3 * bias_seeded, (
+        f"expected lane-order bias ({bias0:.3f}) to dominate the seeded "
+        f"draw ({bias_seeded:.3f}); did the unseeded path change?"
+    )
+    # every ball member is reachable: P(miss one in 80 draws) ~ 8e-7
+    assert np.all(counts[ball] > 0), "some ball members never selected"
+    assert counts[np.setdiff1d(np.arange(m), ball)].sum() == 0
+
+
+def test_extract_patches_seeded_semantics(rng):
+    """Padding/centering/scaling invariants hold under seeded draws."""
+    pts, q, radius = _case(rng, m=2000, b=8, radius=0.35)
+    grid = build_grid(jnp.asarray(pts), radius, max_dim=16)
+    patch, n_eff = extract_patches(
+        grid, jnp.asarray(q), radius, k=48, center="point",
+        cell_capacity=1024, seed=jnp.uint32(3),
+    )
+    patch, n_eff = np.asarray(patch), np.asarray(n_eff)
+    tree = cKDTree(pts)
+    for i in range(8):
+        nbrs = tree.query_ball_point(q[i], radius)
+        assert n_eff[i] == min(len(nbrs), 48)
+        assert np.all(patch[i, n_eff[i]:] == 0.0)
+        norms = np.linalg.norm(patch[i, : n_eff[i]], axis=1)
+        assert norms.max() <= 1.0 + 1e-5
+        rec = patch[i, : n_eff[i]] * radius + q[i]
+        d = np.linalg.norm(rec[:, None] - pts[nbrs][None], axis=-1)
+        assert d.min(axis=1).max() < 1e-5
+
+
 def test_capacity_cap_detectable(rng):
     pts = np.zeros((100, 3), np.float32)  # everything in one cell
     grid = build_grid(jnp.asarray(pts), 0.5)

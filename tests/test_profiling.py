@@ -39,3 +39,18 @@ def test_trace_captures_device_activity(tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs
     ]
     assert found, "trace produced no artifacts"
+
+
+def test_block_sync_reliable_and_timed_cpu():
+    """CPU backend: blocking sync is trustworthy (no probe needed) and
+    the fetch-synchronized timer returns a sane positive median."""
+    from nestinet_tpu.core.profiling import block_sync_reliable, fetch_sync, timed
+
+    assert block_sync_reliable() is True
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.asarray(np.ones((64, 64), np.float32))
+    ms = timed(f, x, reps=3)
+    assert ms > 0
+    out = fetch_sync({"a": f(x)})  # returns input unchanged, any pytree
+    assert set(out) == {"a"}
