@@ -310,6 +310,17 @@ def main():
         from nestinet_tpu.infer.device_pipeline import predict_shapes_device
 
         rates = {}
+        # Modes whose six-testset RMS is pinned in QUALITY.md within the
+        # ±0.1° parity bar of the host-dense float32 anchor (BASELINE.json
+        # defines the metric as points/sec AT RMS parity).  The headline
+        # `value` is the fastest of THESE; any unpinned mode is recorded
+        # as a secondary rate only.  Update alongside QUALITY.md.
+        parity_pinned = {
+            "device_sparse_int8",      # QUALITY.md: avg RMS 4.494°
+            "device_sparse_bfloat16",  # QUALITY.md: avg RMS 4.491°
+            "sparse_bfloat16",         # QUALITY.md: avg RMS 4.559°
+            "dense_bfloat16",          # ≡ sparse (tests pin equality)
+        }
         sweep = [
             # device_sparse: cloud uploaded once, ball query + MuPS +
             # manager fused into program A, argmax expert via the
@@ -358,7 +369,12 @@ def main():
             except Exception as e:  # one mode must not kill the bench
                 # (e.g. a backend/compiler rejecting int8 convs)
                 mark(f"{name} FAILED ({type(e).__name__}: {e}) — skipped")
-        ours = max(rates.values())
+        pinned_rates = {k: v for k, v in rates.items() if k in parity_pinned}
+        ours = max(pinned_rates.values())
+        headline_mode = max(pinned_rates, key=pinned_rates.get)
+        if ours < max(rates.values()):
+            mark(f"note: fastest mode overall is NOT parity-pinned; "
+                 f"headline stays {headline_mode}")
 
         # The denominator gets the same treatment (best-of-two) so
         # relay drift cannot inflate the ratio.
@@ -372,6 +388,14 @@ def main():
                 "value": round(ours, 2),
                 "unit": "points/s",
                 "vs_baseline": round(ours / ref_rate, 2),
+                # provenance fields (VERDICT r2): the denominator is
+                # relay-RTT-bound and drifts with relay weather — record
+                # it so the ratio's movement is attributable — plus every
+                # measured mode and which mode the headline is.
+                "headline_mode": headline_mode,
+                "ref_points_per_sec": round(ref_rate, 2),
+                "mode_rates": {k: round(v, 2) for k, v in rates.items()},
+                "parity_pinned_modes": sorted(parity_pinned & set(rates)),
             }
         )
     )

@@ -63,14 +63,6 @@ def main(argv=None):
     if args.extraction == "device":
         from ..infer.device_pipeline import predict_shapes_device
 
-        if args.data_parallel > 1:
-            # Silently running single-device would change throughput ~Nx
-            # vs the host path, which honors the flag.
-            raise SystemExit(
-                "--extraction=device does not support --data_parallel yet; "
-                "use the host extraction path for data-parallel serving"
-            )
-
         stats = predict_shapes_device(
             args.results_path,
             dataset_name=args.dataset_name,
@@ -80,6 +72,7 @@ def main(argv=None):
             compute_dtype=args.compute_dtype,
             moe_inference=args.moe_inference,
             sparse_patches=bool(args.sparse_patches),
+            data_parallel=args.data_parallel,
         )
         print(json.dumps(
             {k: v for k, v in stats.items() if k != "shapes"}, indent=2

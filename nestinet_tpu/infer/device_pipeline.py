@@ -46,6 +46,26 @@ from .predict import (
 from .writer import ShapeScatterWriter
 
 
+def _mesh_placers(mesh):
+    """(put_q, place_grids): query-batch upload (sharded over the data
+    axis when a mesh is given) and grid placement (replicated over the
+    mesh — every shard extracts from the full cloud)."""
+    if mesh is None:
+        return jnp.asarray, lambda grids: grids
+    from ..train.mesh import batch_sharding, replicated
+
+    q_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    def put_q(x):
+        return jax.device_put(jnp.asarray(x), q_sh)
+
+    def place_grids(grids):
+        return [jax.device_put(g, r_sh) for g in grids]
+
+    return put_q, place_grids
+
+
 def _capacity_bucket(occ: int) -> int:
     """Round cell occupancy up to a power of two (bounds the number of
     compiled program variants)."""
@@ -147,6 +167,7 @@ def predict_shapes_device(
     moe_inference: str = "sparse",
     sparse_window_slots: int | None = None,
     sparse_patches: bool = False,
+    data_parallel: int = 0,
 ) -> dict:
     """Streaming inference with on-device patch extraction.
 
@@ -161,11 +182,28 @@ def predict_shapes_device(
     into program A and runs each patch through only its argmax expert
     via the routing FIFO (`SparseMoeRouter`) — outputs identical to
     dense; "dense" runs all experts in the single fused program.
+
+    data_parallel > 1 runs the whole pipeline over a data mesh: the
+    shape cloud/grids and parameters are replicated, the query batch
+    (and the routing FIFO's batch axis) shard over the mesh — patches
+    are independent, so extraction + MuPS + manager need no collectives
+    at all (SURVEY §2.7 TPU-equivalent #1).  batch_size must divide by
+    it; outputs are identical to single-device
+    (`tests/test_device_pipeline.py::test_device_data_parallel_matches_single`).
     """
     del loader_workers
     rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
+
+    mesh = None
+    if data_parallel > 1:
+        from ..train.mesh import make_mesh
+
+        assert batch_size % data_parallel == 0, (
+            "batch_size must divide by data_parallel"
+        )
+        mesh = make_mesh(data_parallel, 1)
 
     with open(f"{indir}/{testset}") as f:
         shape_names = [s.strip() for s in f if s.strip()]
@@ -197,7 +235,8 @@ def predict_shapes_device(
         "n_eff": np.full((batch_size, len(cfg.patch_radius)), cfg.num_point,
                          np.int32),
     }
-    params, state = restore_model(rd, cfg, model, sample)
+    params, state = restore_model(rd, cfg, model, sample, mesh=mesh)
+    put_q, place_grids = _mesh_placers(mesh)
 
     rng = np.random.RandomState(seed)
     if isinstance(model, ExpertsNormEst) and moe_inference == "sparse":
@@ -206,6 +245,7 @@ def predict_shapes_device(
             batch_size=batch_size, out_dir=out_dir,
             window_slots=sparse_window_slots,
             queries_per_shape=queries_per_shape,
+            mesh=mesh, put_q=put_q, place_grids=place_grids,
         )
     n_patches = 0
     t0 = time.perf_counter()
@@ -213,10 +253,11 @@ def predict_shapes_device(
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
         radii_abs = [r * bbdiag for r in cfg.patch_radius]
 
-        # pre-shuffle: uniform first-k subsampling parity (see module doc)
+        # pre-shuffle: defense-in-depth for capacity-capped cells (see
+        # module doc; uniform subsampling itself is the seeded draw)
         perm = rng.permutation(cloud.shape[0])
         shuffled = jnp.asarray(cloud[perm], jnp.float32)
-        grids = [build_grid(shuffled, r) for r in radii_abs]
+        grids = place_grids([build_grid(shuffled, r) for r in radii_abs])
         caps = tuple(
             _capacity_bucket(max_cell_occupancy(g)) for g in grids
         )
@@ -255,7 +296,7 @@ def predict_shapes_device(
                 )
             # fresh uniform ball draw per batch, deterministic per run
             bseed = jnp.uint32((shape_salt + start) & 0xFFFFFFFF)
-            outs = fwd(params, state, grids, jnp.asarray(q), radii_dev, bseed)
+            outs = fwd(params, state, grids, put_q(q), radii_dev, bseed)
             try:  # start the device->host copy behind the next dispatch
                 outs.copy_to_host_async()
             except Exception:
@@ -281,7 +322,8 @@ def predict_shapes_device(
 def _predict_sparse_device(
     model, params, state, cfg, writer, clouds, rng, *,
     batch_size: int, out_dir: str, window_slots: int | None = None,
-    queries_per_shape=None,
+    queries_per_shape=None, mesh=None, put_q=jnp.asarray,
+    place_grids=lambda g: g,
 ) -> dict:
     """Sparse MoE serving with on-device extraction: per batch the host
     uploads only a [B, 3] query slice (~3 KB); program A extracts the
@@ -295,7 +337,7 @@ def _predict_sparse_device(
     trace = _PhaseTimer(os.environ.get("NESTINET_SERVING_TRACE") == "1")
     router = SparseMoeRouter(
         model, params, state, cfg, writer, batch_size,
-        window_slots=window_slots, trace=trace,
+        window_slots=window_slots, trace=trace, mesh=mesh,
     )
     if queries_per_shape is None:
         queries_per_shape = [None] * len(clouds)
@@ -304,11 +346,11 @@ def _predict_sparse_device(
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
         radii_abs = [r * bbdiag for r in cfg.patch_radius]
 
-        # pre-shuffle: uniform first-k subsampling parity (module doc)
+        # pre-shuffle: defense-in-depth for capacity-capped cells
         perm = rng.permutation(cloud.shape[0])
         shuffled = jnp.asarray(cloud[perm], jnp.float32)
         with trace("grid_build"):
-            grids = [build_grid(shuffled, r) for r in radii_abs]
+            grids = place_grids([build_grid(shuffled, r) for r in radii_abs])
             caps = tuple(
                 _capacity_bucket(max_cell_occupancy(g)) for g in grids
             )
@@ -335,7 +377,7 @@ def _predict_sparse_device(
             bseed = jnp.uint32((shape_salt + start) & 0xFFFFFFFF)
             with trace("manager_dispatch"):
                 probs_dev, buf = mgr(
-                    params, state, grids, jnp.asarray(q), radii_dev, bseed,
+                    params, state, grids, put_q(q), radii_dev, bseed,
                     router.buf, slot,
                 )
             router.commit(real, probs_dev, buf)

@@ -424,7 +424,7 @@ class SparseMoeRouter:
     """
 
     def __init__(self, model, params, state, cfg, writer, batch_size,
-                 window_slots: int | None = None, trace=None):
+                 window_slots: int | None = None, trace=None, mesh=None):
         import functools
 
         self.model = model
@@ -488,7 +488,20 @@ class SparseMoeRouter:
         # pad-clamp fusion blows the 16 MB scoped-VMEM limit.
         row_len = int(np.prod(grid_shape))
         buf = jnp.zeros((self.W, batch_size, row_len), model.compute_dtype)
-        self.buf = jax.block_until_ready(jax.device_put(buf))
+        if mesh is not None:
+            # Data-parallel serving: shard the FIFO's batch axis over the
+            # data mesh so program A's parked grids stay on the shard
+            # that computed them.  Program B's flat-index row gather then
+            # crosses shards only for bucket rows that landed elsewhere
+            # (XLA inserts the collective); outputs stay identical.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..train.mesh import DATA_AXIS
+
+            buf = jax.device_put(buf, NamedSharding(mesh, P(None, DATA_AXIS)))
+            self.buf = jax.block_until_ready(buf)
+        else:
+            self.buf = jax.block_until_ready(jax.device_put(buf))
 
     def begin_batch(self):
         """Evict the slot about to be overwritten; returns it (traced)."""
@@ -666,7 +679,7 @@ def _predict_sparse_moe(
     )
     router = SparseMoeRouter(
         model, params, state, cfg, writer, batch_size,
-        window_slots=window_slots, trace=trace,
+        window_slots=window_slots, trace=trace, mesh=mesh,
     )
 
     t0 = time.perf_counter()

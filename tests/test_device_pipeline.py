@@ -113,9 +113,9 @@ def test_device_pipeline_int8_smoke(run_with_data):
     assert (np.linalg.norm(d, axis=1) > 0).all()
 
 
-def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
-    """MoE variant writes .experts/.experts_probs through the device
-    path too."""
+@pytest.fixture(scope="module")
+def moe_dev_run(run_with_data, tmp_path_factory):
+    """A tiny MoE run dir sharing run_with_data's point cloud."""
     root, _ = run_with_data
     out = str(tmp_path_factory.mktemp("moe_dev"))
     rng = np.random.RandomState(3)
@@ -137,6 +137,14 @@ def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
     params, state = model.init(jax.random.PRNGKey(0), batch)
     ckpt_lib.save(rd.ckpt_dir, params=params, state=state,
                   opt_state=make_optimizer(cfg).init(params), step=0, epoch=0)
+    return root, rd.path
+
+
+def test_device_pipeline_moe_outputs(moe_dev_run):
+    """MoE variant writes .experts/.experts_probs through the device
+    path too."""
+    root, run_path = moe_dev_run
+    rd = RunDir.open(run_path)
 
     stats = predict_shapes_device(rd.path, dataset_name="dev",
                                   testset="mini.txt", data_path=root,
@@ -174,3 +182,52 @@ def test_device_pipeline_moe_outputs(run_with_data, tmp_path_factory):
         np.loadtxt(os.path.join(od, "s.experts_probs")),
         np.loadtxt(os.path.join(dd, "s.experts_probs")), atol=1e-5,
     )
+
+
+def test_device_data_parallel_matches_single(moe_dev_run):
+    """Device-extraction serving sharded over the 8-device CPU mesh
+    (queries + routing-FIFO batch axis sharded, cloud grids and params
+    replicated) produces the same routing decisions and normal
+    directions as single-device — the multi-chip story for the fastest
+    serving mode (SURVEY §2.7 TPU-equivalent #1)."""
+    root, run_path = moe_dev_run
+    common = dict(testset="mini.txt", data_path=root, batch_size=16)
+    single = predict_shapes_device(run_path, dataset_name="ddp1", **common)
+    multi = predict_shapes_device(run_path, dataset_name="ddp8",
+                                  data_parallel=8, **common)
+    assert multi["n_patches"] == single["n_patches"] == 400
+    np.testing.assert_array_equal(
+        np.loadtxt(os.path.join(multi["output_dir"], "s.experts")),
+        np.loadtxt(os.path.join(single["output_dir"], "s.experts")),
+    )
+    s = np.loadtxt(os.path.join(single["output_dir"], "s.normals"))
+    m = np.loadtxt(os.path.join(multi["output_dir"], "s.normals"))
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    gap = np.degrees(np.arccos(np.clip(np.abs((s * m).sum(1)), -1, 1)))
+    assert gap.max() < 0.01, f"max dp8-vs-dp1 gap {gap.max():.5f} deg"
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(multi["output_dir"], "s.experts_probs")),
+        np.loadtxt(os.path.join(single["output_dir"], "s.experts_probs")),
+        atol=1e-5,
+    )
+
+
+def test_device_data_parallel_dense_matches_single(moe_dev_run):
+    """Dense device path under the data mesh: same outputs, no FIFO."""
+    root, run_path = moe_dev_run
+    common = dict(testset="mini.txt", data_path=root, batch_size=16,
+                  moe_inference="dense")
+    single = predict_shapes_device(run_path, dataset_name="ddd1", **common)
+    multi = predict_shapes_device(run_path, dataset_name="ddd8",
+                                  data_parallel=8, **common)
+    np.testing.assert_array_equal(
+        np.loadtxt(os.path.join(multi["output_dir"], "s.experts")),
+        np.loadtxt(os.path.join(single["output_dir"], "s.experts")),
+    )
+    s = np.loadtxt(os.path.join(single["output_dir"], "s.normals"))
+    m = np.loadtxt(os.path.join(multi["output_dir"], "s.normals"))
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    gap = np.degrees(np.arccos(np.clip(np.abs((s * m).sum(1)), -1, 1)))
+    assert gap.max() < 0.01, f"max dense dp8-vs-dp1 gap {gap.max():.5f} deg"
