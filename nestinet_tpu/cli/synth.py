@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..data.synthetic import build_protocol_benchmark
+from ..data.synthetic import build_protocol_benchmark, build_switching_benchmark
 
 
 def main(argv=None):
@@ -24,8 +24,14 @@ def main(argv=None):
     p.add_argument("--n_points", type=int, default=50_000)
     p.add_argument("--n_pidx", type=int, default=5_000)
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument(
+        "--switching", action="store_true",
+        help="build the noise-switching regime instead (sigmas straddle "
+             "the 0.015 hard-switch threshold; see data/synthetic.py)",
+    )
     args = p.parse_args(argv)
-    sets = build_protocol_benchmark(
+    build = build_switching_benchmark if args.switching else build_protocol_benchmark
+    sets = build(
         args.root, n_points=args.n_points, n_pidx=args.n_pidx, seed=args.seed
     )
     for name, shapes in sets.items():

@@ -34,7 +34,7 @@ import os
 
 from ..data.pcpnet import _load_cached
 from ..models.experts import ExpertsNormEst
-from ..ops.ball_query import build_grid, extract_patches, max_cell_occupancy
+from ..ops.ball_query import build_grid, extract_patches, window_occupancy_np
 from .predict import (
     SparseMoeRouter,
     _PhaseTimer,
@@ -67,23 +67,46 @@ def _mesh_placers(mesh):
 
 
 def _capacity_bucket(occ: int) -> int:
-    """Round cell occupancy up to a power of two (bounds the number of
-    compiled program variants)."""
-    cap = 32
+    """Round 3x3x3-window occupancy up to a power of two (bounds the
+    number of compiled program variants; `_ball_query_sorted` raises the
+    lane budget to k internally when the bucket lands below it)."""
+    cap = 64
     while cap < occ:
         cap *= 2
-    return min(cap, 4096)
+    return cap
 
 
-def make_device_forward(model, n_scales, *, num_point, cell_capacity):
+def _dataset_window_caps(clouds, radii_frac) -> tuple:
+    """Per-radius CSR lane budgets covering EVERY shape in the run.
+
+    The caps are static jit arguments: sizing them per shape keys a
+    fresh compiled program per shape, and through the remote-TPU relay
+    each flagship serving compile costs minutes — measured 110
+    patches/s end-to-end (a ~40x regression) when the caps varied
+    across a six-shape testset.  One dataset-wide maximum compiles
+    once; the cost is only the pow2-bucket slack in candidate lanes.
+    Occupancy is computed on the host from the raw clouds
+    (`window_occupancy_np` mirrors `build_grid` binning bit-for-bit;
+    the per-shape pre-shuffle doesn't change cell counts)."""
+    worst = [0] * len(radii_frac)
+    for cloud in clouds:
+        bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
+        for i, rf in enumerate(radii_frac):
+            occ = window_occupancy_np(cloud, rf * bbdiag)
+            worst[i] = max(worst[i], occ)
+    return tuple(_capacity_bucket(o) for o in worst)
+
+
+def make_device_forward(model, n_scales, *, num_point, window_capacity):
     """One jitted program: query points -> patches (per radius) ->
     model forward.  Radii arrive as a traced [n_scales] array so one
     compiled program serves every shape (absolute radii are per-shape:
-    fraction x bbox diagonal).  `cell_capacity` is either an int
-    (shared) or an n_scales tuple of per-radius caps."""
+    fraction x bbox diagonal).  `window_capacity` is either an int
+    (shared) or an n_scales tuple of per-radius 3x3x3-window lane
+    budgets (CSR candidate layout, `ops/ball_query.py`)."""
     is_moe = isinstance(model, ExpertsNormEst)
-    caps = cell_capacity if isinstance(cell_capacity, tuple) else (
-        (cell_capacity,) * n_scales
+    caps = window_capacity if isinstance(window_capacity, tuple) else (
+        (window_capacity,) * n_scales
     )
 
     def fwd(params, state, grids, queries, radii, seed):
@@ -91,7 +114,7 @@ def make_device_forward(model, n_scales, *, num_point, cell_capacity):
         for i in range(n_scales):
             p, ne = extract_patches(
                 grids[i], queries, radii[i], k=num_point,
-                cell_capacity=caps[i], center="point",
+                window_capacity=caps[i], center="point",
                 seed=seed + jnp.uint32(0x85EBCA6B) * jnp.uint32(i),
             )
             pts_scales.append(p)
@@ -117,17 +140,19 @@ def make_device_forward(model, n_scales, *, num_point, cell_capacity):
     return jax.jit(fwd), is_moe
 
 
-def make_device_manager_store(model, n_scales, *, num_point, cell_capacity):
+def make_device_manager_store(model, n_scales, *, num_point, window_capacity):
     """Sparse-mode program A with on-device extraction fused in front:
     query points -> ball-query patch gather (per radius) -> MuPS grid ->
     manager probs, parking the grid in the routing FIFO (donated).
 
-    `cell_capacity`: int (shared) or per-radius tuple — cell occupancy
-    scales with cell volume (edge = radius), so per-radius caps keep the
-    small scales from scanning the largest scale's candidate window
-    (measured 31 -> 24 ms per 256-batch extraction)."""
-    caps = cell_capacity if isinstance(cell_capacity, tuple) else (
-        (cell_capacity,) * n_scales
+    `window_capacity`: int (shared) or per-radius tuple of CSR lane
+    budgets — sized to the real 3x3x3-window population per radius
+    (`max_window_occupancy`), not 27 x the worst single cell; this keeps
+    the gather/top_k width proportional to actual ball candidates
+    (per-cell caps before this: 31 -> 24 ms; CSR windows: see PERF.md
+    round-3 extraction numbers)."""
+    caps = window_capacity if isinstance(window_capacity, tuple) else (
+        (window_capacity,) * n_scales
     )
 
     def manager_store(params, state, grids, queries, radii, seed, buf, slot):
@@ -135,7 +160,7 @@ def make_device_manager_store(model, n_scales, *, num_point, cell_capacity):
         for i in range(n_scales):
             p, ne = extract_patches(
                 grids[i], queries, radii[i], k=num_point,
-                cell_capacity=caps[i], center="point",
+                window_capacity=caps[i], center="point",
                 seed=seed + jnp.uint32(0x85EBCA6B) * jnp.uint32(i),
             )
             pts_scales.append(p)
@@ -248,6 +273,16 @@ def predict_shapes_device(
             mesh=mesh, put_q=put_q, place_grids=place_grids,
         )
     n_patches = 0
+    n_scales = len(cfg.patch_radius)
+    caps = _dataset_window_caps(clouds, cfg.patch_radius)
+    fwd, is_moe = _serving_jit(
+        model,
+        f"device_fwd3_n{cfg.num_point}_s{n_scales}_w{caps}",
+        lambda: make_device_forward(
+            model, n_scales, num_point=cfg.num_point,
+            window_capacity=caps,
+        ),
+    )
     t0 = time.perf_counter()
     for name, cloud, qidx in zip(shape_names, clouds, queries_per_shape):
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
@@ -258,17 +293,6 @@ def predict_shapes_device(
         perm = rng.permutation(cloud.shape[0])
         shuffled = jnp.asarray(cloud[perm], jnp.float32)
         grids = place_grids([build_grid(shuffled, r) for r in radii_abs])
-        caps = tuple(
-            _capacity_bucket(max_cell_occupancy(g)) for g in grids
-        )
-        fwd, is_moe = _serving_jit(
-            model,
-            f"device_fwd2_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
-            lambda: make_device_forward(
-                model, len(radii_abs), num_point=cfg.num_point,
-                cell_capacity=caps,
-            ),
-        )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
         shape_salt = rng.randint(0, 2**31)
         qpts = cloud if qidx is None else cloud[qidx]
@@ -341,6 +365,16 @@ def _predict_sparse_device(
     )
     if queries_per_shape is None:
         queries_per_shape = [None] * len(clouds)
+    n_scales = len(cfg.patch_radius)
+    caps = _dataset_window_caps(clouds, cfg.patch_radius)
+    mgr = _serving_jit(
+        model,
+        f"device_manager_store3_n{cfg.num_point}_s{n_scales}_w{caps}",
+        lambda: make_device_manager_store(
+            model, n_scales, num_point=cfg.num_point,
+            window_capacity=caps,
+        ),
+    )
     t0 = time.perf_counter()
     for cloud, qidx in zip(clouds, queries_per_shape):
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))
@@ -351,17 +385,6 @@ def _predict_sparse_device(
         shuffled = jnp.asarray(cloud[perm], jnp.float32)
         with trace("grid_build"):
             grids = place_grids([build_grid(shuffled, r) for r in radii_abs])
-            caps = tuple(
-                _capacity_bucket(max_cell_occupancy(g)) for g in grids
-            )
-        mgr = _serving_jit(
-            model,
-            f"device_manager_store2_n{cfg.num_point}_s{len(radii_abs)}_c{caps}",
-            lambda: make_device_manager_store(
-                model, len(radii_abs), num_point=cfg.num_point,
-                cell_capacity=caps,
-            ),
-        )
         radii_dev = jnp.asarray(radii_abs, jnp.float32)
         shape_salt = rng.randint(0, 2**31)
         qpts = cloud if qidx is None else cloud[qidx]

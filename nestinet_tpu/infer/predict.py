@@ -192,6 +192,14 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
     params, state, _, _, _ = ckpt_lib.restore(
         ckpt_dir, params=params_t, state=state_t, opt_state=opt_t
     )
+    if getattr(model, "quantize", False):
+        # int8 serving: pre-quantize conv/linear kernels on the host —
+        # the device then holds int8 weights + per-cout scales instead
+        # of re-deriving them from f32 every call, and the upload below
+        # ships ~1 byte/param instead of 4 (ops/quant.py).
+        from ..ops.quant import quantize_params_np
+
+        params = quantize_params_np(params)
     # Restore yields host arrays; move them to device NOW, explicitly.
     # Leaving the transfer to the first jit dispatch ships hundreds of
     # MB inside the dispatch path — observed to wedge the remote-TPU

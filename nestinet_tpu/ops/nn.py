@@ -100,9 +100,18 @@ class _Conv3DParamF32(hk.Module):
         )
         b = hk.get_parameter("b", [self.out], jnp.float32, init=jnp.zeros)
         if quant.enabled():
+            # Statically pre-quantized checkpoint (quantize_params_np):
+            # the tree carries an int8 kernel + its per-cout scales.
+            # w.dtype is trace-time static, so this branch costs nothing.
+            w_scale = None
+            if w.dtype == jnp.int8:
+                w_scale = hk.get_parameter(
+                    "w_scale", [self.out], jnp.float32, init=jnp.ones
+                )
             return quant.conv_nd_int8(
                 x, w, b, window_strides=self.stride,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                w_scale=w_scale,
             )
         out = jax.lax.conv_general_dilated(
             x,
@@ -128,7 +137,12 @@ class _LinearParamF32(hk.Module):
         )
         b = hk.get_parameter("b", [self.units], jnp.float32, init=jnp.zeros)
         if quant.enabled():
-            return quant.linear_int8(x, w, b)
+            w_scale = None
+            if w.dtype == jnp.int8:  # statically pre-quantized tree
+                w_scale = hk.get_parameter(
+                    "w_scale", [self.units], jnp.float32, init=jnp.ones
+                )
+            return quant.linear_int8(x, w, b, w_scale=w_scale)
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 

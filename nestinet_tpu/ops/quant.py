@@ -76,17 +76,23 @@ def _quantize_weight_per_cout(w):
     return w_q.astype(jnp.int8), scale
 
 
-def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers):
+def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers, w_scale=None):
     """Quantized drop-in for `lax.conv_general_dilated(x, w) + b`.
 
     x: activations in the compute dtype (any float), channels-last.
-    w: float32 master kernel [..., cin, cout].
+    w: float32 master kernel [..., cin, cout], OR a pre-quantized int8
+       kernel (then `w_scale` [cout] must be given — the static path
+       written by `quantize_params_np`, which skips the per-call f32
+       weight read + round/clip and uploads 4x less through the relay).
     b: float32 bias [cout].
     Returns activations in x.dtype.
     """
     out_dtype = x.dtype
     x_q, s_x = _quantize_tensor(x)
-    w_q, s_w = _quantize_weight_per_cout(w)
+    if w.dtype == jnp.int8:
+        w_q, s_w = w, w_scale
+    else:
+        w_q, s_w = _quantize_weight_per_cout(w)
     acc = jax.lax.conv_general_dilated(
         x_q,
         w_q,
@@ -99,14 +105,95 @@ def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers):
     return out.astype(out_dtype)
 
 
-def linear_int8(x, w, b):
-    """Quantized drop-in for `x @ w + b` (w: f32 [cin, cout])."""
+def linear_int8(x, w, b, w_scale=None):
+    """Quantized drop-in for `x @ w + b` (w: f32 [cin, cout] or
+    pre-quantized int8 with `w_scale` [cout])."""
     out_dtype = x.dtype
     x_q, s_x = _quantize_tensor(x)
-    w_q, s_w = _quantize_weight_per_cout(w)
+    if w.dtype == jnp.int8:
+        w_q, s_w = w, w_scale
+    else:
+        w_q, s_w = _quantize_weight_per_cout(w)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * (s_w * s_x) + b
     return out.astype(out_dtype)
+
+
+# ------------------------------------------------ static weight quantization
+
+# Bundle-path leaf names whose "w" is a quantized MAC kernel.  These are
+# the inner modules of ops/nn.py's ConvBN3D ("conv", w [k,k,k,cin,cout],
+# or [E, k,k,k,cin,cout] for the vmap-stacked expert groups) and DenseBN
+# ("linear", w [cin,cout] / [E,cin,cout]).  Other modules (BN, transpose
+# convs, 1D/2D parity wrappers) never consult `quant.enabled()` and must
+# keep float weights.
+_QUANT_BUNDLES = ("conv", "linear")
+_QUANT_NDIM = {"conv": (5, 6), "linear": (2, 3)}
+
+
+def quantized_param_tree(params) -> bool:
+    """True if `quantize_params_np` has already run on this tree."""
+    import jax.tree_util as jtu
+
+    return any(
+        getattr(leaf, "dtype", None) == jnp.int8
+        for leaf in jtu.tree_leaves(params)
+    )
+
+
+def quantize_params_np(params):
+    """Pre-quantize every conv/linear kernel in a (possibly nested)
+    haiku params tree to int8, ON THE HOST, once per checkpoint load.
+
+    Replaces each matching f32 "w" with the int8 kernel and adds a
+    sibling "w_scale" leaf holding the symmetric per-output-channel
+    scales (per (member, cout) for stacked expert groups — identical
+    to what the dynamic path computes per call inside the vmap).  The
+    arithmetic matches `_quantize_weight_per_cout` bit-for-bit so
+    static and dynamic serving produce identical outputs; serving
+    then uploads 1 byte/param instead of 4 through the host->device
+    link and skips the per-call weight read+round+clip entirely.
+
+    haiku's apply only shape-checks parameters (not dtype), so the
+    mixed tree passes straight through `hk.get_parameter`; the nn.py
+    modules branch on `w.dtype == int8` at trace time.
+    """
+    import numpy as np
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                bundle = key.rsplit("/", 1)[-1]
+                if (
+                    bundle in _QUANT_BUNDLES
+                    and "w" in val
+                    and getattr(val["w"], "ndim", 0) in _QUANT_NDIM[bundle]
+                ):
+                    w = np.asarray(val["w"], np.float32)
+                    stacked = w.ndim == _QUANT_NDIM[bundle][1]
+                    # reduce all axes except the last (cout) — and except
+                    # the leading member axis when vmap-stacked.
+                    axes = tuple(range(1 if stacked else 0, w.ndim - 1))
+                    amax = np.max(np.abs(w), axis=axes, keepdims=True)
+                    scale = np.maximum(amax, 1e-12) / 127.0
+                    w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+                    newv = dict(val)
+                    newv["w"] = w_q
+                    # squeeze kept-dim placeholders: [E,1,..,cout]->[E,cout]
+                    newv["w_scale"] = scale.reshape(
+                        (w.shape[0], w.shape[-1]) if stacked else (w.shape[-1],)
+                    ).astype(np.float32)
+                    out[key] = newv
+                    continue
+                out[key] = walk(val)
+            else:
+                out[key] = val
+        return out
+
+    return walk(dict(params))

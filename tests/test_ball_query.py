@@ -11,6 +11,7 @@ from nestinet_tpu.ops.ball_query import (
     build_grid,
     extract_patches,
     max_cell_occupancy,
+    max_window_occupancy,
 )
 
 
@@ -176,6 +177,81 @@ def test_extract_patches_seeded_semantics(rng):
         rec = patch[i, : n_eff[i]] * radius + q[i]
         d = np.linalg.norm(rec[:, None] - pts[nbrs][None], axis=-1)
         assert d.min(axis=1).max() < 1e-5
+
+
+def test_max_window_occupancy_oracle(rng):
+    """Sliding-sum helper equals the brute-force max over all 3^3 cell
+    windows (zero-padded at the grid boundary)."""
+    pts = rng.uniform(-1, 1, size=(4000, 3)).astype(np.float32)
+    grid = build_grid(jnp.asarray(pts), 0.21, max_dim=16)
+    dims = tuple(int(d) for d in np.asarray(grid.dims))
+    counts = np.bincount(
+        np.asarray(grid.cell_ids), minlength=int(np.prod(dims))
+    ).reshape(dims)
+    want = 0
+    for i in range(dims[0]):
+        for j in range(dims[1]):
+            for l in range(dims[2]):
+                want = max(want, counts[
+                    max(i - 1, 0):i + 2,
+                    max(j - 1, 0):j + 2,
+                    max(l - 1, 0):l + 2,
+                ].sum())
+    assert max_window_occupancy(grid) == int(want)
+
+
+def test_window_occupancy_np_matches_device_grid(rng):
+    """The pure-host binning mirror must agree with the device grid's
+    occupancy for every radius the serving path uses — it sizes
+    `window_capacity` WITHOUT building grids (one program per dataset,
+    infer/device_pipeline._dataset_window_caps)."""
+    from nestinet_tpu.ops.ball_query import window_occupancy_np
+
+    pts = rng.uniform(-1.3, 0.9, size=(6000, 3)).astype(np.float32)
+    bbdiag = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    for rf in (0.01, 0.03, 0.05, 0.2):
+        radius = rf * bbdiag
+        grid = build_grid(jnp.asarray(pts), radius)
+        assert window_occupancy_np(pts, radius) == max_window_occupancy(grid)
+
+
+@pytest.mark.parametrize("seed", [None, 11])
+def test_window_capacity_layout_identical(rng, seed):
+    """The CSR-compacted candidate layout (window_capacity) must return
+    EXACTLY what the per-cell-cap layout returns — same rows, same
+    n_eff — for both the deterministic first-k and the seeded uniform
+    draw (the hit set and the per-candidate hash keys are unchanged;
+    only the lane packing differs)."""
+    pts, q, radius = _case(rng, m=3000, b=32, radius=0.3)
+    grid = build_grid(jnp.asarray(pts), radius, max_dim=16)
+    cap = max_cell_occupancy(grid)
+    wcap = max_window_occupancy(grid)
+    assert wcap < 27 * cap  # the whole point: a tighter lane budget
+    kw = {} if seed is None else {"seed": jnp.uint32(seed)}
+    k = 64
+    idx_a, neff_a = ball_query(
+        grid, jnp.asarray(q), radius, k=k, cell_capacity=cap, **kw
+    )
+    idx_b, neff_b = ball_query(
+        grid, jnp.asarray(q), radius, k=k, cell_capacity=8,  # ignored
+        window_capacity=wcap, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(neff_a), np.asarray(neff_b))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+
+
+def test_window_capacity_extract_patches_identical(rng):
+    pts, q, radius = _case(rng, m=2000, b=16, radius=0.25)
+    grid = build_grid(jnp.asarray(pts), radius, max_dim=16)
+    cap = max_cell_occupancy(grid)
+    wcap = max_window_occupancy(grid)
+    pa, na = extract_patches(grid, jnp.asarray(q), radius, k=48,
+                             cell_capacity=cap, seed=jnp.uint32(5))
+    pb, nb = extract_patches(grid, jnp.asarray(q), radius, k=48,
+                             cell_capacity=8, window_capacity=wcap,
+                             seed=jnp.uint32(5))
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
 def test_capacity_cap_detectable(rng):

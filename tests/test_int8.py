@@ -162,6 +162,67 @@ def test_flagship_int8_serving_close_to_bf16():
     assert ang.max() < 10.0, ang
 
 
+def test_static_weight_quantization_matches_dynamic():
+    """`quantize_params_np` (host pre-quantized int8 kernels + scales in
+    the params tree — what int8 serving now uploads) must produce the
+    SAME numbers as the in-graph dynamic weight quantization: identical
+    arithmetic (`_quantize_weight_per_cout`), different execution site."""
+    cfg = _tiny_cfg("float32")
+    batch = _tiny_batch()
+    _, params, state = _train_few_steps(cfg, batch)
+
+    gmm = get_3d_grid_gmm([cfg.num_gaussians] * 3, variance=cfg.gmm_variance)
+    model = build_model(dataclasses.replace(cfg, compute_dtype="int8"), gmm)
+
+    o_dyn, _ = model.apply(params, state, None, batch, False, 0.0)
+    params_q = quant.quantize_params_np(jax.device_get(params))
+    assert quant.quantized_param_tree(params_q)
+    assert not quant.quantized_param_tree(params)
+    o_sta, _ = model.apply(params_q, state, None, batch, False, 0.0)
+
+    np.testing.assert_allclose(
+        np.array(model.predict_normals(o_dyn), np.float32),
+        np.array(model.predict_normals(o_sta), np.float32),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.array(o_dyn["experts_prob"], np.float32),
+        np.array(o_sta["experts_prob"], np.float32),
+        rtol=0, atol=1e-5,
+    )
+    # every conv/linear kernel actually got the int8 treatment
+    n_q = sum(
+        1
+        for bundle, leaves in params_q.items()
+        if isinstance(leaves, dict) and "w_scale" in leaves
+    )
+
+    def count_kernels(tree):
+        total = 0
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                if key.rsplit("/", 1)[-1] in ("conv", "linear") and "w" in val:
+                    total += 1
+                else:
+                    total += count_kernels(val)
+        return total
+
+    assert n_q == 0  # flagship tree nests under group/manager dicts
+    assert count_kernels(params_q) == count_kernels(params) > 0
+    q_kernels = []
+
+    def collect(tree):
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                if key.rsplit("/", 1)[-1] in ("conv", "linear") and "w" in val:
+                    q_kernels.append(val)
+                else:
+                    collect(val)
+
+    collect(params_q)
+    assert all(k["w"].dtype == np.int8 and "w_scale" in k for k in q_kernels)
+
+
 def test_int8_training_rejected():
     from nestinet_tpu.train.trainer import Trainer
 

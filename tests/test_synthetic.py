@@ -111,3 +111,38 @@ def test_builder_layout(tmp_path):
                 assert lvl == syn.NOISE_LEVELS["large"]
             else:
                 assert lvl == 0.0
+
+
+def test_switching_benchmark_layout(tmp_path):
+    """The switching regime carries sigmas on BOTH sides of the 0.015
+    hard-switch threshold (ms_sw_n_est.py:82) in every list, with the
+    per-shape noise files the trainer's `noise` feature reads."""
+    sets = syn.build_switching_benchmark(
+        str(tmp_path), n_points=400, n_pidx=50, seed=5
+    )
+    assert set(sets) == {
+        "trainingset_switching.txt",
+        "validationset_switching.txt",
+        "testset_switching.txt",
+    }
+    assert any(s < 0.015 for s in syn.SWITCH_NOISE_LEVELS)
+    assert any(s > 0.015 for s in syn.SWITCH_NOISE_LEVELS)
+    for list_name, names in sets.items():
+        listed = open(os.path.join(tmp_path, list_name)).read().split()
+        assert listed == names
+        levels = np.loadtxt(
+            os.path.join(tmp_path, list_name[:-4] + "_noise_levels.txt")
+        )
+        assert levels.shape == (len(names),)
+        # every base shape appears at every sigma, below AND above 0.015
+        assert sorted(set(np.round(levels, 6))) == sorted(
+            syn.SWITCH_NOISE_LEVELS
+        )
+        for n in names:
+            for ext in (".xyz", ".normals", ".pidx"):
+                assert os.path.isfile(os.path.join(tmp_path, n + ext)), (n, ext)
+    # GT normals at every sigma are the clean-surface normals
+    base = sets["testset_switching.txt"][0].rsplit("_sw", 1)[0]
+    clean = np.loadtxt(os.path.join(tmp_path, f"{base}_sw000.normals"))
+    noisy = np.loadtxt(os.path.join(tmp_path, f"{base}_sw030.normals"))
+    np.testing.assert_allclose(clean, noisy)
