@@ -115,15 +115,19 @@ def fc_head(
     bn_momentum,
     dropout_rate: float = 0.0,
     final_activation=None,
+    final_w_init=None,
+    final_b_init=None,
     name: str = "fc",
 ):
     """The reference's FC head shape: BN on every hidden layer, optional
-    dropout between layers, configurable final activation."""
+    dropout between layers, configurable final activation/init."""
     for i, units in enumerate(hidden):
         x = DenseBN(units, bn=True, name=f"{name}{i + 1}")(x, is_training, bn_momentum)
         if dropout_rate > 0.0:
             x = dropout(x, dropout_rate, is_training)
     x = DenseBN(
-        final_units, bn=False, activation=final_activation, name=f"{name}{len(hidden) + 1}"
+        final_units, bn=False, activation=final_activation,
+        w_init=final_w_init, b_init=final_b_init,
+        name=f"{name}{len(hidden) + 1}"
     )(x, is_training, bn_momentum)
     return x

@@ -38,9 +38,21 @@ class SwitchingNormEst(ModelBase):
                 )
 
             noise_feat = conv_feat(large, "noise_")
+            # The final layer's inputs are post-ReLU (all >= 0), so one
+            # weight vector drives every sample's preactivation to the
+            # same sign; with the reference's output ReLU + xavier/zero
+            # init the head dies (grad exactly 0) the moment that sign
+            # goes negative — and MSE against targets ~1e-2 pushes the
+            # O(1)-scale xavier preactivations exactly there.  Start the
+            # head at the switch threshold instead: tiny final weights +
+            # bias = 0.015, so every sample's ReLU is alive and the
+            # prediction already sits at the targets' scale.  Init-only
+            # change; the architecture stays `ms_sw_n_est.py:138-173`.
             noise_est = fc_head(
                 noise_feat, (1024, 256, 128), 1,
                 is_training=is_training, bn_momentum=bn_momentum,
+                final_w_init=hk.initializers.TruncatedNormal(stddev=1e-3),
+                final_b_init=hk.initializers.Constant(NOISE_SWITCH_THRESHOLD),
                 name="noise_fc",
             )
             # ReLU output activation (`ms_sw_n_est.py:169`), squeezed to [B].

@@ -127,15 +127,17 @@ class _LinearParamF32(hk.Module):
     """Linear with float32 master parameters ('w' [in,out], 'b' [out]),
     computed in the input's dtype; checkpoint-compatible with hk.Linear."""
 
-    def __init__(self, units, name=None):
+    def __init__(self, units, name=None, w_init=None, b_init=None):
         super().__init__(name=name)
         self.units = int(units)
+        self.w_init = xavier_uniform if w_init is None else w_init
+        self.b_init = jnp.zeros if b_init is None else b_init
 
     def __call__(self, x):
         w = hk.get_parameter(
-            "w", [x.shape[-1], self.units], jnp.float32, init=xavier_uniform
+            "w", [x.shape[-1], self.units], jnp.float32, init=self.w_init
         )
-        b = hk.get_parameter("b", [self.units], jnp.float32, init=jnp.zeros)
+        b = hk.get_parameter("b", [self.units], jnp.float32, init=self.b_init)
         if quant.enabled():
             w_scale = None
             if w.dtype == jnp.int8:  # statically pre-quantized tree
@@ -189,15 +191,21 @@ class DenseBN(hk.Module):
         *,
         bn: bool = False,
         activation=jax.nn.relu,
+        w_init=None,
+        b_init=None,
         name: str | None = None,
     ):
         super().__init__(name=name)
         self.units = units
         self.bn = bn
         self.activation = activation
+        self.w_init = w_init
+        self.b_init = b_init
 
     def __call__(self, x, is_training, bn_momentum):
-        x = _LinearParamF32(self.units, name="linear")(x)
+        x = _LinearParamF32(
+            self.units, name="linear", w_init=self.w_init, b_init=self.b_init
+        )(x)
         if self.bn:
             x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
         if self.activation is not None:

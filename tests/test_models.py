@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,3 +155,34 @@ def test_loss_sign_flip_invariance(rng):
         l2, _ = normal_loss(n_pred, -n_gt, lt)
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
         np.testing.assert_allclose(float(l0), float(l2), rtol=1e-5)
+
+
+@pytest.mark.fast
+def test_switching_noise_head_alive_at_init(rng):
+    """The noise head's output ReLU sits on a linear layer whose inputs
+    are post-ReLU (all >= 0): a zero-bias init can start (and with MSE's
+    zero gradient through a dead ReLU, stay) at exactly 0 for every
+    sample — round 2's 100%%-one-branch failure.  The positive bias init
+    must keep the head alive: noise_pred > 0 at init and the noise-MSE
+    gradient into the noise tower nonzero."""
+    cfg = dataclasses.replace(_cfg("ms_sw_n_est", [0.01, 0.05]), tiny_backbone=True)
+    gmm = get_3d_grid_gmm([3, 3, 3], variance=cfg.gmm_variance)
+    m = build_model(cfg, gmm)
+    batch = _batch(rng, 2, with_noise=True)
+    params, state = m.init(jax.random.PRNGKey(3), batch)
+
+    outputs, _ = m.apply(params, state, None, batch, True, 0.9)
+    noise_pred = np.asarray(outputs["noise_pred"])
+    assert (noise_pred > 0).all(), "noise head dead at init"
+
+    def noise_mse(p):
+        outputs, _ = m.apply(p, state, None, batch, True, 0.9)
+        return jnp.mean(jnp.square(outputs["noise_pred"] - batch["noise"]))
+
+    grads = jax.grad(noise_mse)(params)
+    g_noise = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for k, g in jax.tree_util.tree_leaves_with_path(grads)
+        if "noise" in jax.tree_util.keystr(k)
+    )
+    assert g_noise > 0, "no MSE gradient reaches the noise tower"
