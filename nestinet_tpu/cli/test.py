@@ -58,7 +58,14 @@ def main(argv=None):
                         "(QUALITY.md) — far inside the +-0.1 deg parity "
                         "bar. float32 reproduces training numerics "
                         "exactly.")
+    p.add_argument("--fold_bn", type=int, default=None,
+                   help="1: fold eval BatchNorm affines into the conv/"
+                        "linear kernels at checkpoint load (ops/fold.py) "
+                        "— exact algebra, trims the BN epilogues from "
+                        "every serving layer. Default: run config "
+                        "(off unless trained with it).")
     args = p.parse_args(argv)
+    fold_bn = None if args.fold_bn is None else bool(args.fold_bn)
 
     if args.extraction == "device":
         from ..infer.device_pipeline import predict_shapes_device
@@ -73,6 +80,7 @@ def main(argv=None):
             moe_inference=args.moe_inference,
             sparse_patches=bool(args.sparse_patches),
             data_parallel=args.data_parallel,
+            fold_bn=fold_bn,
         )
         print(json.dumps(
             {k: v for k, v in stats.items() if k != "shapes"}, indent=2
@@ -90,6 +98,7 @@ def main(argv=None):
         moe_inference=args.moe_inference,
         data_parallel=args.data_parallel,
         compute_dtype=args.compute_dtype,
+        fold_bn=fold_bn,
     )
     print(json.dumps({k: v for k, v in stats.items() if k != "shapes"}, indent=2))
 

@@ -74,6 +74,9 @@ class Config:
     data_parallel: int = 1  # chips along the batch ("data") mesh axis
     expert_parallel: int = 1  # chips along the expert mesh axis (MoE only)
     compute_dtype: str = "float32"  # CNN compute: float32 | bfloat16 | int8 (serving only)
+    # Fold eval BatchNorm affines into conv/linear kernels at checkpoint
+    # load (ops/fold.py).  Serving-only: the trainer force-clears it.
+    fold_bn: bool = False
     # MuPS statistics implementation: "auto" picks the fused Pallas
     # kernel on TPU backends and the XLA broadcast+reduce path elsewhere.
     mups_impl: str = "auto"  # auto | jnp | pallas

@@ -193,6 +193,7 @@ def predict_shapes_device(
     sparse_window_slots: int | None = None,
     sparse_patches: bool = False,
     data_parallel: int = 0,
+    fold_bn: bool | None = None,
 ) -> dict:
     """Streaming inference with on-device patch extraction.
 
@@ -217,7 +218,9 @@ def predict_shapes_device(
     (`tests/test_device_pipeline.py::test_device_data_parallel_matches_single`).
     """
     del loader_workers
-    rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
+    rd, cfg, gmm, model = load_run(
+        run_dir, compute_dtype=compute_dtype, fold_bn=fold_bn
+    )
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
 

@@ -86,7 +86,11 @@ def _mesh_key(mesh):
     )
 
 
-def load_run(run_dir: str, compute_dtype: str | None = None):
+def load_run(
+    run_dir: str,
+    compute_dtype: str | None = None,
+    fold_bn: bool | None = None,
+):
     """(cfg, gmm, model, params, state) from a run directory.
 
     Cached per (path, config/gmm mtime, dtype override): the returned
@@ -96,7 +100,10 @@ def load_run(run_dir: str, compute_dtype: str | None = None):
     `compute_dtype` overrides the training config's CNN compute dtype
     for serving only — parameters are stored in float32 regardless of
     compute dtype (mixed precision, `ops/nn.py`), so one checkpoint can
-    be served at float32 or bfloat16 without conversion."""
+    be served at float32 or bfloat16 without conversion.
+
+    `fold_bn` overrides cfg.fold_bn for serving (ops/fold.py: eval BN
+    affines folded into the kernels at checkpoint load)."""
     rd = RunDir.open(run_dir)
     path = os.path.abspath(run_dir)
     key = (
@@ -104,6 +111,7 @@ def load_run(run_dir: str, compute_dtype: str | None = None):
         os.path.getmtime(rd.config_path),
         os.path.getmtime(rd.gmm_path),
         compute_dtype,
+        fold_bn,
     )
     hit = _RUN_CACHE.get(key)
     if hit is not None:
@@ -113,15 +121,19 @@ def load_run(run_dir: str, compute_dtype: str | None = None):
     # programs) will never be used again — without eviction a
     # long-lived server leaks one model per reload.
     for stale in [
-        k for k in _RUN_CACHE if k[0] == path and k[3] == compute_dtype
+        k
+        for k in _RUN_CACHE
+        if k[0] == path and k[3] == compute_dtype and k[4] == fold_bn
     ]:
         del _RUN_CACHE[stale]
     cfg = Config.load(rd.config_path)
     gmm = GridGMM.load(rd.gmm_path)
-    if compute_dtype is not None:
-        import dataclasses
+    import dataclasses
 
+    if compute_dtype is not None:
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    if fold_bn is not None:
+        cfg = dataclasses.replace(cfg, fold_bn=bool(fold_bn))
     model = build_model(cfg, gmm)
     _RUN_CACHE[key] = (rd, cfg, gmm, model)
     return _RUN_CACHE[key]
@@ -192,6 +204,14 @@ def restore_model(rd: RunDir, cfg: Config, model, sample_batch: dict, mesh=None)
     params, state, _, _, _ = ckpt_lib.restore(
         ckpt_dir, params=params_t, state=state_t, opt_state=opt_t
     )
+    if getattr(model, "fold_bn", False):
+        # BN-folded serving: eval BN affines folded into the preceding
+        # conv/linear kernels on the host (exact algebra — ops/fold.py);
+        # model.quant_ctx() then skips the BN layers at trace time.
+        # Must precede quantization (folds float32 kernels).
+        from ..ops.fold import fold_bn_params_np
+
+        params, state = fold_bn_params_np(params, state)
     if getattr(model, "quantize", False):
         # int8 serving: pre-quantize conv/linear kernels on the host —
         # the device then holds int8 weights + per-cout scales instead
@@ -230,6 +250,7 @@ def predict_shapes(
     data_parallel: int = 0,
     compute_dtype: str | None = None,
     sparse_window_slots: int | None = None,
+    fold_bn: bool | None = None,
 ) -> dict:
     """Run inference for every shape in `testset`; returns stats.
 
@@ -248,7 +269,9 @@ def predict_shapes(
     compute_dtype overrides the CNN compute dtype for this serving pass
     ("bfloat16" serves a float32 checkpoint in mixed precision).
     """
-    rd, cfg, gmm, model = load_run(run_dir, compute_dtype=compute_dtype)
+    rd, cfg, gmm, model = load_run(
+        run_dir, compute_dtype=compute_dtype, fold_bn=fold_bn
+    )
     indir = data_path if data_path is not None else cfg.data_path
     out_dir = output_dir if output_dir is not None else rd.results_dir(dataset_name)
 

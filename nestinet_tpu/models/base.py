@@ -42,6 +42,10 @@ class ModelBase:
         # int8: MAC-heavy conv/matmul inner products run quantized on the
         # MXU (ops/quant.py); everything elementwise stays in bfloat16.
         self.quantize = cfg.compute_dtype == "int8"
+        # BN-folded serving (ops/fold.py): eval BN affines folded into
+        # the preceding kernels at checkpoint load.  Serving-only; the
+        # trainer clears this (EMA state must keep updating).
+        self.fold_bn = bool(getattr(cfg, "fold_bn", False))
         self.compute_dtype = (
             jnp.bfloat16
             if cfg.compute_dtype in ("bfloat16", "int8")
@@ -58,12 +62,19 @@ class ModelBase:
 
     # ---- shared pieces ----
     def quant_ctx(self, is_training: bool = False):
-        """Trace-time context enabling int8 conv/matmul kernels in the
-        wrapped CNN apply when cfg.compute_dtype == "int8" (serving
-        only — training always runs the float path)."""
-        from ..ops import quant
+        """Trace-time serving context around CNN applies: enables int8
+        conv/matmul kernels when cfg.compute_dtype == "int8" and skips
+        eval BatchNorms when serving a BN-folded tree (cfg.fold_bn;
+        restore_model pairs the flag with the folded checkpoint).
+        Training always runs the float, unfolded path."""
+        import contextlib
 
-        return quant.quantized(self.quantize and not is_training)
+        from ..ops import fold, quant
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(quant.quantized(self.quantize and not is_training))
+        stack.enter_context(fold.folded(self.fold_bn and not is_training))
+        return stack
 
     def _mups_grid(self, points, n_eff):
         """[B, res, res, res, 20 * n_scales] statistics grid (float32)."""

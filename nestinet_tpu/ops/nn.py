@@ -30,7 +30,7 @@ import haiku as hk
 import jax
 import jax.numpy as jnp
 
-from . import quant
+from . import fold, quant
 
 # Xavier / Glorot uniform, matching tf.contrib.layers.xavier_initializer.
 xavier_uniform = hk.initializers.VarianceScaling(1.0, "fan_avg", "uniform")
@@ -51,6 +51,12 @@ class BatchNormEMA(hk.Module):
         self.eps = eps
 
     def __call__(self, x: jnp.ndarray, is_training: bool, momentum) -> jnp.ndarray:
+        if not is_training and fold.enabled():
+            # BN-folded serving (ops/fold.py): the eval affine has been
+            # folded into the preceding conv/linear kernel on the host,
+            # so this layer is an identity — no parameter/state reads
+            # (the folded tree no longer carries them).
+            return x
         c = x.shape[-1]
         # Parameters live in float32 regardless of compute dtype (mixed
         # precision: master weights f32, activations cast per-op).

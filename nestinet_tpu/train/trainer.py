@@ -37,6 +37,13 @@ from .train_step import (
 class Trainer:
     def __init__(self, cfg: Config, run_dir: RunDir | None = None, mesh=None,
                  loader_workers: int = 8):
+        if getattr(cfg, "fold_bn", False):
+            # BN folding is a serving-only checkpoint transform
+            # (ops/fold.py); under training the EMA state must keep
+            # updating and mid-training validation must read it.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, fold_bn=False)
         self.cfg = cfg
         self.rundir = run_dir if run_dir is not None else RunDir.create(cfg.log_dir)
         self.loader_workers = loader_workers

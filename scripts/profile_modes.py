@@ -7,6 +7,9 @@ serving loop is printed alongside the rate.
 
 Usage: python scripts/profile_modes.py log/moe_synth [--list bench2.txt]
        [--data data/synth_pcpnet] [--combos device_sparse:bfloat16:256,...]
+
+A combo may carry a 4th field "fold" to serve the BN-folded checkpoint
+(ops/fold.py), e.g. device_sparse:bfloat16:256:fold.
 """
 
 import argparse
@@ -41,12 +44,14 @@ def main():
     args = ap.parse_args()
 
     for combo in args.combos.split(","):
-        path, dtype, batch = combo.split(":")
+        parts = combo.split(":")
+        path, dtype, batch = parts[:3]
+        fold = "fold" in parts[3:]
         extraction, mode = path.split("_")
         batch = int(batch)
         kw = dict(
             testset=args.list, data_path=args.data, batch_size=batch,
-            moe_inference=mode, compute_dtype=dtype,
+            moe_inference=mode, compute_dtype=dtype, fold_bn=fold,
         )
 
         def run(tag):

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--extraction", default=None,
                     help="host (default) or device (fused ball-query path)")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--fold_bn", type=int, default=None,
+                    help="1: BN-folded serving (ops/fold.py)")
     ap.add_argument("--results_name", default="synthq")
     args = ap.parse_args()
 
@@ -66,6 +68,8 @@ def main():
         kwargs["compute_dtype"] = args.dtype
     if args.mode:
         kwargs["moe_inference"] = args.mode
+    if args.fold_bn is not None:
+        kwargs["fold_bn"] = bool(args.fold_bn)
 
     if args.extraction == "device":
         from nestinet_tpu.infer.device_pipeline import predict_shapes_device
