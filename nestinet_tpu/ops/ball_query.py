@@ -50,6 +50,11 @@ class HashGrid(NamedTuple):
     origin: jnp.ndarray  # [3] grid origin
     dims: jnp.ndarray  # [3] int32 cells per axis
     cell_size: jnp.ndarray  # [] float cell edge length
+    cell_starts: jnp.ndarray  # [max_dim^3 + 1] CSR row table: cell c's
+    # points live at sorted rows [cell_starts[c], cell_starts[c+1]).
+    # Built once per (shape, radius); turns the per-query-batch cell
+    # range lookup into two gathers instead of 2 x 27 x B binary
+    # searches over the sorted ids.
 
 
 def _cell_of(points, origin, cell_size, dims):
@@ -79,13 +84,20 @@ def build_grid(points: jnp.ndarray, radius, *, max_dim: int = 64) -> HashGrid:
     )
     ids = _cell_of(points, lo, cell_size, dims)
     order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    # Dense CSR row table over the (statically padded) cell-id space:
+    # one searchsorted per BUILD instead of 54 per query batch.  Ids at
+    # or beyond prod(dims) never occur, so their rows are all M (empty).
+    table_ids = jnp.arange(max_dim**3 + 1, dtype=jnp.int32)
+    cell_starts = jnp.searchsorted(ids_sorted, table_ids, side="left")
     return HashGrid(
         points=points[order],
         order=order.astype(jnp.int32),
-        cell_ids=ids[order],
+        cell_ids=ids_sorted,
         origin=lo,
         dims=dims,
         cell_size=cell_size,
+        cell_starts=cell_starts.astype(jnp.int32),
     )
 
 
@@ -126,17 +138,20 @@ def ball_query(
             (use `max_window_occupancy(grid)` rounded up) instead of
             27 x cell_capacity lanes sized for the WORST single cell —
             3-7x fewer lanes on the large flagship radii, identical
-            results (the hit set and hash keys don't change).
+            results (the hit set and hash keys don't change).  When the
+            lane budget is <= k the ball cannot be oversized, so both
+            draws degenerate to the same compaction fast path (every
+            hit, rows ascending) without any k-wide top_k.
 
     Returns:
         idx   [B, k] int32 indices into the ORIGINAL cloud (0-padded),
         n_eff [B]    int32 true neighbor count (clipped at k).
     """
-    sorted_rows, took_hit, n_eff = _ball_query_sorted(
+    rows, _, took_hit, n_eff = _query_select(
         grid, queries, radius, k=k, cell_capacity=cell_capacity, seed=seed,
         window_capacity=window_capacity,
     )
-    idx = jnp.where(took_hit, grid.order[sorted_rows], 0)
+    idx = jnp.where(took_hit, grid.order[rows], 0)
     return idx.astype(jnp.int32), n_eff
 
 
@@ -144,8 +159,25 @@ def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity, seed=None,
                        window_capacity=None):
     """ball_query, but returning positions in the grid's SORTED point
     array ([B, k] rows + hit mask + n_eff) — callers that gather from
-    `grid.points` directly (extract_patches) skip the inverse-
-    permutation round trip of original-index output."""
+    `grid.points` directly skip the inverse-permutation round trip of
+    original-index output."""
+    rows, _, took_hit, n_eff = _query_select(
+        grid, queries, radius, k=k, cell_capacity=cell_capacity, seed=seed,
+        window_capacity=window_capacity,
+    )
+    return rows, took_hit, n_eff
+
+
+def _candidate_window(grid, queries, radius, *, cell_capacity,
+                      window_capacity):
+    """The 27-cell candidate window of each query.
+
+    Returns:
+        cand   [B, T] int32 rows into the SORTED cloud (0 where invalid),
+        cpts   [B, T, 3] the candidates' raw coordinates,
+        hit    [B, T] bool true-distance ball membership,
+        n_hits [B] int32 exact ball population (uncapped).
+    """
     B = queries.shape[0]
     radius = jnp.asarray(radius, jnp.float32)
     queries = queries.astype(jnp.float32)
@@ -161,22 +193,23 @@ def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity, seed=None,
     in_bounds = jnp.all((ncell >= 0) & (ncell < dims[None, None]), axis=-1)
     ncell = jnp.clip(ncell, 0, dims - 1)
     nids = (ncell[..., 0] * dims[1] + ncell[..., 1]) * dims[2] + ncell[..., 2]
-    # Out-of-bounds slots get unique negative sentinels (match nothing),
-    # and a cell visited twice (clipping collisions on small grids)
-    # counts only at its first occurrence — otherwise neighbors would be
-    # double-counted.
+    # A cell visited twice (clipping collisions on small grids) counts
+    # only at its first occurrence — otherwise neighbors would be
+    # double-counted.  Out-of-bounds slots compare under unique negative
+    # sentinels so a clipped id never shadows a real visit.
     sentinel = -1 - jnp.arange(27, dtype=jnp.int32)
-    nids = jnp.where(in_bounds, nids, sentinel[None])
-    eq_earlier = (nids[:, :, None] == nids[:, None, :]) & jnp.tril(
+    nids_cmp = jnp.where(in_bounds, nids, sentinel[None])
+    eq_earlier = (nids_cmp[:, :, None] == nids_cmp[:, None, :]) & jnp.tril(
         jnp.ones((27, 27), bool), k=-1
     )[None]
     first_visit = ~jnp.any(eq_earlier, axis=-1)
 
-    # per-cell ranges in the sorted order via binary search
-    starts = jnp.searchsorted(grid.cell_ids, nids.reshape(-1), side="left")
-    ends = jnp.searchsorted(grid.cell_ids, nids.reshape(-1), side="right")
-    starts = starts.reshape(B, 27)
-    counts = (ends.reshape(B, 27) - starts) * (in_bounds & first_visit)
+    # Per-cell ranges from the grid's dense CSR row table: two gathers,
+    # vs. 2 x 27 x B binary searches over the sorted ids per call.
+    tbl = grid.cell_starts
+    nc = jnp.clip(nids, 0, tbl.shape[0] - 2)
+    starts = tbl[nc]
+    counts = (tbl[nc + 1] - starts) * (in_bounds & first_visit)
 
     if window_capacity is not None:
         # CSR compaction: lane j of query b maps to the j-th point of
@@ -184,7 +217,7 @@ def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity, seed=None,
         # the lane budget tracks the REAL window population instead of
         # 27 x the worst single cell.  Gather width, distance tests,
         # draw keys and the top_k all shrink by the same factor.
-        T = max(int(window_capacity), k)
+        T = int(window_capacity)
         cum = jnp.cumsum(counts, axis=1)  # [B, 27]
         total = cum[:, -1:]
         lane = jnp.arange(T, dtype=jnp.int32)
@@ -209,47 +242,85 @@ def _ball_query_sorted(grid, queries, radius, *, k, cell_capacity, seed=None,
         cand = jnp.where(valid, cand, 0).reshape(B, 27 * cell_capacity)
         valid = valid.reshape(B, 27 * cell_capacity)
 
-    cpts = grid.points[cand]  # [B, 27C, 3]
+    cpts = grid.points[cand]  # [B, T, 3]
     d2 = jnp.sum(jnp.square(cpts - queries[:, None]), axis=-1)
     hit = valid & (d2 <= radius * radius)
-    n_eff = jnp.minimum(jnp.sum(hit, axis=1), k).astype(jnp.int32)
+    n_hits = jnp.sum(hit, axis=1).astype(jnp.int32)
+    return cand, cpts, hit, n_hits
 
-    # Compact k hits via top_k over a positive key (misses get key 0 and
-    # are masked out — `vals > 0` <=> real hit).
-    if seed is None:
-        # Deterministic first-k in lane order: hits get distinct
-        # descending keys, so top_k returns exactly the first k hits in
-        # order.  NOTE: lanes enumerate the 27-cell window spatially, so
-        # oversized balls get a corner-biased subsample — pass a seed
-        # for the reference's uniform draw.
-        n_lanes = hit.shape[1]
-        lane_key = jnp.arange(n_lanes, 0, -1, dtype=jnp.int32)  # n_lanes..1
-        key = jnp.where(hit, lane_key[None], 0)
-    else:
-        # Uniform k-subset per query: each (query, candidate) pair gets
-        # an i.i.d.-uniform hash key, so the top-k hits are a uniform
-        # without-replacement draw from the ball — independent across
-        # queries (the host path's per-patch rng.choice,
-        # `pcpnet_dataset.py:319-321`).  Key collisions only tie-break
-        # order among equals, which a set-valued draw doesn't care about.
-        q_salt = _mix32(
-            jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
-            + jnp.asarray(seed, jnp.uint32)
-        )
-        h = _mix32(cand.astype(jnp.uint32) ^ q_salt[:, None])
-        key = jnp.where(hit, (h >> jnp.uint32(2)).astype(jnp.int32) | 1, 0)
-    vals, take = jax.lax.top_k(key, k)  # [B, k]
-    took_hit = vals > 0
-    sorted_rows = jnp.take_along_axis(cand, take, axis=1)
-    if seed is not None:
-        # Hash order scatters the downstream row gather; re-sort the
-        # selected rows ascending (patches are permutation-invariant —
-        # MuPS reduces over the point axis) to restore memory locality.
-        rows = jnp.where(took_hit, sorted_rows, jnp.int32(2**31 - 1))
-        rows = jnp.sort(rows, axis=1)
+
+def _query_select(grid, queries, radius, *, k, cell_capacity, seed=None,
+                  window_capacity=None):
+    """Candidate window + k-subset selection.
+
+    Returns (rows [B, k] into the SORTED cloud, pts [B, k, 3] the
+    selected points' raw coordinates, took_hit [B, k] prefix mask,
+    n_eff [B]).  Both rows and pts are zeroed outside the prefix.  The
+    points ride along from the window gather (`take_along_axis` over
+    the lane axis) so callers never re-gather from the cloud.
+    """
+    cand, cpts, hit, n_hits = _candidate_window(
+        grid, queries, radius, cell_capacity=cell_capacity,
+        window_capacity=window_capacity,
+    )
+    B, T = hit.shape
+    n_eff = jnp.minimum(n_hits, k).astype(jnp.int32)
+
+    if T <= k:
+        # The whole candidate window fits in the k output lanes, so no
+        # draw (first-k or seeded-uniform) can drop a hit: selection
+        # degenerates to compaction.  Lanes enumerate cells by ascending
+        # id and rows ascend within a cell, so compacting in lane order
+        # yields every hit with rows ascending — bit-identical to both
+        # the first-k and the seeded-draw output for these windows, at
+        # the cost of one [B, T] sort instead of a k-wide top_k.
+        lane = jnp.arange(T, dtype=jnp.int32)
+        ordv = jnp.where(hit, lane[None], lane[None] + T)
+        lane_sel = jnp.sort(ordv, axis=1)
+        lane_sel = jnp.where(lane_sel < T, lane_sel, lane_sel - T)
+        rows = jnp.take_along_axis(cand, lane_sel, axis=1)
+        pts = jnp.take_along_axis(cpts, lane_sel[:, :, None], axis=1)
+        if T < k:
+            rows = jnp.pad(rows, ((0, 0), (0, k - T)))
+            pts = jnp.pad(pts, ((0, 0), (0, k - T), (0, 0)))
         took_hit = jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None]
-        sorted_rows = rows
-    return jnp.where(took_hit, sorted_rows, 0), took_hit, n_eff
+    else:
+        # Compact k hits via top_k over a positive key (misses get key 0
+        # and are masked out — `vals > 0` <=> real hit).
+        if seed is None:
+            # Deterministic first-k in lane order: hits get distinct
+            # descending keys, so top_k returns exactly the first k hits
+            # in order.  NOTE: lanes enumerate the 27-cell window
+            # spatially, so oversized balls get a corner-biased
+            # subsample — pass a seed for the reference's uniform draw.
+            lane_key = jnp.arange(T, 0, -1, dtype=jnp.int32)  # T..1
+            key = jnp.where(hit, lane_key[None], 0)
+        else:
+            # Uniform k-subset per query: each (query, candidate) pair
+            # gets an i.i.d.-uniform hash key, so the top-k hits are a
+            # uniform without-replacement draw from the ball —
+            # independent across queries (the host path's per-patch
+            # rng.choice, `pcpnet_dataset.py:319-321`).  Key collisions
+            # only tie-break order among equals, which a set-valued draw
+            # doesn't care about.  Selected points come back in hash-key
+            # order, NOT ascending-row order: downstream consumers are
+            # point-permutation-invariant (MuPS reduces over the point
+            # axis) and the points are lifted from the already-resident
+            # window, so there is no scattered HBM gather to re-sort for.
+            q_salt = _mix32(
+                jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.asarray(seed, jnp.uint32)
+            )
+            h = _mix32(cand.astype(jnp.uint32) ^ q_salt[:, None])
+            key = jnp.where(hit, (h >> jnp.uint32(2)).astype(jnp.int32) | 1, 0)
+        vals, take = jax.lax.top_k(key, k)  # [B, k]
+        took_hit = vals > 0
+        rows = jnp.take_along_axis(cand, take, axis=1)
+        pts = jnp.take_along_axis(cpts, take[:, :, None], axis=1)
+
+    rows = jnp.where(took_hit, rows, 0)
+    pts = jnp.where(took_hit[:, :, None], pts, 0.0)
+    return rows, pts, took_hit, n_eff
 
 
 def extract_patches(
@@ -273,12 +344,13 @@ def extract_patches(
 
     Returns (patch_points [B, k, 3], n_eff [B]).
     """
-    sorted_rows, _, n_eff = _ball_query_sorted(
+    _, pts, took_hit, n_eff = _query_select(
         grid, queries, radius, k=k, cell_capacity=cell_capacity, seed=seed,
         window_capacity=window_capacity,
     )
-    pts = grid.points[sorted_rows]  # [B, k, 3] (sorted-order gather)
-    mask = (jnp.arange(k, dtype=jnp.int32)[None] < n_eff[:, None])[..., None]
+    # pts are the selected candidates' coordinates, lifted straight from
+    # the window gather — no second HBM gather over the cloud.
+    mask = took_hit[..., None]
     radius = jnp.asarray(radius, jnp.float32)
     if center == "point":
         pts = pts - queries[:, None]
