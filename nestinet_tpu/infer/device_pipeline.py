@@ -149,8 +149,9 @@ def make_device_manager_store(model, n_scales, *, num_point, window_capacity):
     budgets — sized to the real 3x3x3-window population per radius
     (`max_window_occupancy`), not 27 x the worst single cell; this keeps
     the gather/top_k width proportional to actual ball candidates
-    (per-cell caps before this: 31 -> 24 ms; CSR windows: see PERF.md
-    round-3 extraction numbers)."""
+    (per-cell caps before this: 31 -> 24 ms; CSR windows: 11.5 ms for
+    all 3 radii at B=256 — docs/PERF.md "Round 4: program-A stage
+    split")."""
     caps = window_capacity if isinstance(window_capacity, tuple) else (
         (window_capacity,) * n_scales
     )
