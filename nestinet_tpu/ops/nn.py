@@ -24,7 +24,7 @@ evaluation.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import haiku as hk
 import jax
@@ -34,6 +34,34 @@ from . import fold, quant
 
 # Xavier / Glorot uniform, matching tf.contrib.layers.xavier_initializer.
 xavier_uniform = hk.initializers.VarianceScaling(1.0, "fan_avg", "uniform")
+
+
+class ActQ(NamedTuple):
+    """A float activation paired with a scalar upper bound on |x|.
+
+    int8 serving only (ops/quant.py): dynamic per-tensor activation
+    quantization needs max|x| per conv input, and computing it at the
+    CONSUMER costs a standalone full-tensor reduce pass per conv
+    (measured ~3 ms/batch across the manager at B=256).  Instead each
+    ConvBN3D epilogue emits its output's amax — a reduce XLA fuses into
+    the BN/ReLU elementwise epilogue it already runs — and the bound
+    rides the dataflow: pools only ever select or average existing
+    values (|out| <= amax), concat takes the max over branches.  A
+    conservative bound is always VALID for symmetric quantization: no
+    clipping, marginally coarser rounding (quality re-pinned in
+    QUALITY.md).  Outside `quant.enabled()` tracing, plain tensors flow
+    everywhere and nothing changes.
+    """
+
+    x: jnp.ndarray
+    amax: jnp.ndarray  # scalar f32, >= max|x|
+
+
+def unwrap(x):
+    """(tensor, amax-or-None) from a plain array or an ActQ."""
+    if isinstance(x, ActQ):
+        return x.x, x.amax
+    return x, None
 
 
 class BatchNormEMA(hk.Module):
@@ -99,7 +127,7 @@ class _Conv3DParamF32(hk.Module):
         self.kernel = tuple(kernel_shape)
         self.stride = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
 
-    def __call__(self, x):
+    def __call__(self, x, x_amax=None):
         cin = x.shape[-1]
         w = hk.get_parameter(
             "w", self.kernel + (cin, self.out), jnp.float32, init=xavier_uniform
@@ -117,7 +145,7 @@ class _Conv3DParamF32(hk.Module):
             return quant.conv_nd_int8(
                 x, w, b, window_strides=self.stride,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                w_scale=w_scale,
+                w_scale=w_scale, x_amax=x_amax,
             )
         out = jax.lax.conv_general_dilated(
             x,
@@ -139,7 +167,7 @@ class _LinearParamF32(hk.Module):
         self.w_init = xavier_uniform if w_init is None else w_init
         self.b_init = jnp.zeros if b_init is None else b_init
 
-    def __call__(self, x):
+    def __call__(self, x, x_amax=None):
         w = hk.get_parameter(
             "w", [x.shape[-1], self.units], jnp.float32, init=self.w_init
         )
@@ -150,7 +178,7 @@ class _LinearParamF32(hk.Module):
                 w_scale = hk.get_parameter(
                     "w_scale", [self.units], jnp.float32, init=jnp.ones
                 )
-            return quant.linear_int8(x, w, b, w_scale=w_scale)
+            return quant.linear_int8(x, w, b, w_scale=w_scale, x_amax=x_amax)
         return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
@@ -175,16 +203,23 @@ class ConvBN3D(hk.Module):
         self.activation = activation
 
     def __call__(self, x, is_training, bn_momentum):
+        x, x_amax = unwrap(x)
         x = _Conv3DParamF32(
             output_channels=self.channels,
             kernel_shape=tuple(self.kernel),
             stride=self.stride,
             name="conv",
-        )(x)
+        )(x, x_amax=x_amax)
         if self.bn:
             x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
+        if quant.enabled():
+            # Emit this output's amax for the NEXT quantized consumer:
+            # the reduce fuses into the BN/ReLU epilogue pass above
+            # (multi-output fusion), replacing the consumer's standalone
+            # full-tensor re-read (see ActQ).
+            return ActQ(x, jnp.max(jnp.abs(x)).astype(jnp.float32))
         return x
 
 
@@ -209,13 +244,17 @@ class DenseBN(hk.Module):
         self.b_init = b_init
 
     def __call__(self, x, is_training, bn_momentum):
+        x, x_amax = unwrap(x)
         x = _LinearParamF32(
             self.units, name="linear", w_init=self.w_init, b_init=self.b_init
-        )(x)
+        )(x, x_amax=x_amax)
         if self.bn:
             x = BatchNormEMA(name="bn")(x, is_training, bn_momentum)
         if self.activation is not None:
             x = self.activation(x)
+        # FC activations are tiny ([B, <=1536]); a consumer-side amax
+        # costs nothing measurable, so DenseBN returns a plain tensor
+        # and the ActQ chain ends at the backbone flatten.
         return x
 
 
@@ -305,20 +344,25 @@ def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     return sums / counts
 
 
-def max_pool3d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
-    """3D max pool, SAME padding, NDHWC."""
+def max_pool3d(x, kernel: int, stride: int) -> jnp.ndarray:
+    """3D max pool, SAME padding, NDHWC.  ActQ inputs keep their bound:
+    pooling only selects existing values, so |out| <= amax."""
+    x, x_amax = unwrap(x)
     dims = (1, kernel, kernel, kernel, 1)
     strides = (1, stride, stride, stride, 1)
-    return jax.lax.reduce_window(
+    out = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, dims, strides, padding="SAME"
     )
+    return out if x_amax is None else ActQ(out, x_amax)
 
 
 def avg_pool3d(
-    x: jnp.ndarray, kernel: int, stride: int, *, separable: bool = True
+    x, kernel: int, stride: int, *, separable: bool = True
 ) -> jnp.ndarray:
     """3D average pool, SAME padding, excluding padded cells from the
     mean (TF semantics — border windows divide by the valid count).
+    ActQ inputs keep their bound (averages of values can't exceed the
+    input's amax).
 
     With `separable` (the inference default): one 1D sum-window per
     spatial axis (3·k adds per position instead of k³) and the
@@ -331,6 +375,11 @@ def avg_pool3d(
     intermediates the separable form keeps live tipped the flagship
     train step over the chip's 15.75 GB HBM (OOM by ~7 MB), and the
     training graph is conv-bound anyway."""
+    x, x_amax = unwrap(x)
+
+    def _wrap(out):
+        return out if x_amax is None else ActQ(out, x_amax)
+
     if not separable:
         dims = (1, kernel, kernel, kernel, 1)
         strides = (1, stride, stride, stride, 1)
@@ -341,7 +390,7 @@ def avg_pool3d(
             jnp.ones(x.shape[1:-1], x.dtype)[None, ..., None],
             0.0, jax.lax.add, dims, strides, padding="SAME",
         )
-        return sums / counts
+        return _wrap(sums / counts)
     sums = x
     for axis in (1, 2, 3):
         dims = [1, 1, 1, 1, 1]
@@ -362,7 +411,7 @@ def avg_pool3d(
         shape = [1, 1, 1, 1, 1]
         shape[axis] = c1.shape[0]
         counts = counts * c1.reshape(shape)
-    return sums / counts
+    return _wrap(sums / counts)
 
 
 class Inception3D(hk.Module):
@@ -377,11 +426,45 @@ class Inception3D(hk.Module):
         one = ConvBN3D(self.n, 1, name="conv1")(x, is_training, bn_momentum)
         b1 = ConvBN3D(self.n // 2, self.k1, name="conv2")(one, is_training, bn_momentum)
         b2 = ConvBN3D(self.n // 2, self.k2, name="conv3")(one, is_training, bn_momentum)
-        # separable pool only at inference: see avg_pool3d (the separable
-        # form's live intermediates OOM the flagship train step's HBM).
-        ap = avg_pool3d(x, self.k1, 1, separable=not is_training)
-        ap = ConvBN3D(self.n, 1, name="conv4")(ap, is_training, bn_momentum)
-        return jnp.concatenate([one, b1, b2, ap], axis=-1)
+        cin = unwrap(x)[0].shape[-1]
+        if is_training or cin <= self.n:
+            # Reference order: stride-1 k1^3 average pool, then 1x1x1
+            # conv (+BN+ReLU).  Separable pool only at inference: see
+            # avg_pool3d (the separable form's live intermediates OOM
+            # the flagship train step's HBM).
+            ap = avg_pool3d(x, self.k1, 1, separable=not is_training)
+            ap = ConvBN3D(self.n, 1, name="conv4")(ap, is_training, bn_momentum)
+        else:
+            # Inference, shrinking branch (cin > n): the 1x1x1 conv and
+            # the eval BN affine are per-channel linear maps and the
+            # count-divisor average pool is a spatial linear map, so
+            # conv+BN commute with the pool EXACTLY (up to float
+            # reassociation, like the separable pool itself).  Pooling
+            # AFTER the conv shrinks the pooled tensor cin/n-fold (768
+            # -> 256 on the widest flagship blocks) and lets the conv's
+            # input amax/quantize CSE with conv1's (both now read x) —
+            # measured win on the manager's stride-1 pools.  ReLU does
+            # NOT commute and is applied last, preserving the reference
+            # function relu(BN(conv(avgpool(x)))).  Same parameters,
+            # same "conv4" module name: checkpoints are unaffected.
+            ap = ConvBN3D(self.n, 1, name="conv4", activation=None)(
+                x, is_training, bn_momentum
+            )
+            ap_t, ap_amax = unwrap(ap)
+            ap_t = jax.nn.relu(
+                unwrap(avg_pool3d(ap_t, self.k1, 1, separable=True))[0]
+            )
+            # post-ReLU max can only shrink: the conv output's bound
+            # stays valid, no fresh reduce needed.
+            ap = ap_t if ap_amax is None else ActQ(ap_t, ap_amax)
+        parts = [one, b1, b2, ap]
+        if all(isinstance(p, ActQ) for p in parts):
+            # concat: |out| bound = max over branch bounds (exact).
+            return ActQ(
+                jnp.concatenate([p.x for p in parts], axis=-1),
+                jnp.max(jnp.stack([p.amax for p in parts])),
+            )
+        return jnp.concatenate([unwrap(p)[0] for p in parts], axis=-1)
 
 
 def run_backbone(x, spec, is_training, bn_momentum, *, name_prefix: str = ""):
@@ -403,7 +486,11 @@ def run_backbone(x, spec, is_training, bn_momentum, *, name_prefix: str = ""):
             x = max_pool3d(x, k, s)
         else:
             raise ValueError(f"unknown backbone entry: {entry}")
-    return x.reshape(x.shape[0], -1)
+    x, x_amax = unwrap(x)
+    x = x.reshape(x.shape[0], -1)
+    # the first FC layer consumes the flattened features; hand it the
+    # bound so its quantize pass needs no fresh full-tensor reduce.
+    return x if x_amax is None else ActQ(x, x_amax)
 
 
 def dropout(x, rate: float, is_training: bool):

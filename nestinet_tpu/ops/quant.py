@@ -82,7 +82,8 @@ def _quantize_weight_per_cout(w):
     return w_q.astype(jnp.int8), scale
 
 
-def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers, w_scale=None):
+def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers, w_scale=None,
+                 x_amax=None):
     """Quantized drop-in for `lax.conv_general_dilated(x, w) + b`.
 
     x: activations in the compute dtype (any float), channels-last.
@@ -91,10 +92,24 @@ def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers, w_scale=None):
        written by `quantize_params_np`, which skips the per-call f32
        weight read + round/clip and uploads 4x less through the relay).
     b: float32 bias [cout].
+    x_amax: optional scalar f32 upper bound of |x|, computed by the
+       PRODUCING op's epilogue (ops/nn.py ActQ forwarding).  When given,
+       the activation scale is derived from it instead of re-reading the
+       whole tensor with a fresh amax reduce — the reduce rides the
+       producer's elementwise epilogue (multi-output fusion) and this op
+       keeps only the elementwise round/clip pass.  A bound >= max|x|
+       (e.g. through an average pool) is VALID: no clipping, marginally
+       coarser rounding.
     Returns activations in x.dtype.
     """
     out_dtype = x.dtype
-    x_q, s_x = _quantize_tensor(x)
+    if x_amax is not None:
+        s_x = jnp.maximum(x_amax.astype(jnp.float32), 1e-12) / 127.0
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
+    else:
+        x_q, s_x = _quantize_tensor(x)
     if w.dtype == jnp.int8:
         w_q, s_w = w, w_scale
     else:
@@ -111,11 +126,18 @@ def conv_nd_int8(x, w, b, *, window_strides, dimension_numbers, w_scale=None):
     return out.astype(out_dtype)
 
 
-def linear_int8(x, w, b, w_scale=None):
+def linear_int8(x, w, b, w_scale=None, x_amax=None):
     """Quantized drop-in for `x @ w + b` (w: f32 [cin, cout] or
-    pre-quantized int8 with `w_scale` [cout])."""
+    pre-quantized int8 with `w_scale` [cout]; `x_amax` as in
+    conv_nd_int8)."""
     out_dtype = x.dtype
-    x_q, s_x = _quantize_tensor(x)
+    if x_amax is not None:
+        s_x = jnp.maximum(x_amax.astype(jnp.float32), 1e-12) / 127.0
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
+    else:
+        x_q, s_x = _quantize_tensor(x)
     if w.dtype == jnp.int8:
         w_q, s_w = w, w_scale
     else:

@@ -100,7 +100,7 @@ def main():
                 y, _ = _f.apply(
                     _p, _s, None, g + 0 * s.astype(g.dtype), False, 0.9
                 )
-                return y.sum()
+                return nnops.unwrap(y)[0].sum()  # int8 tracing yields ActQ
 
             with model.quant_ctx():
                 ms = timed(jax.jit(run), lambda r: (grid, jnp.uint32(r)),
@@ -111,7 +111,9 @@ def main():
         real_avg, real_max = nnops.avg_pool3d, nnops.max_pool3d
         try:
             nnops.avg_pool3d = lambda x, k, s, **kw: x
-            nnops.max_pool3d = lambda x, k, s: x[:, ::s, ::s, ::s]
+            nnops.max_pool3d = (
+                lambda x, k, s: nnops.unwrap(x)[0][:, ::s, ::s, ::s]
+            )
 
             def bb2(g, is_training, bn_momentum):
                 return nnops.run_backbone(g, spec, is_training, bn_momentum)
@@ -124,7 +126,7 @@ def main():
                 y, _ = fwd2.apply(
                     p2, s2, None, g + 0 * s.astype(g.dtype), False, 0.9
                 )
-                return y.sum()
+                return nnops.unwrap(y)[0].sum()  # int8 tracing yields ActQ
 
             with model.quant_ctx():
                 out["backbone_nopool_ms"] = round(

@@ -62,3 +62,44 @@ def test_pool2d_semantics():
     # cells are rows 0-1 x cols 0-1 -> mean of [0,1,4,5], NOT /9.
     ap3 = avg_pool2d(x, 3, 3)
     np.testing.assert_allclose(np.asarray(ap3)[0, 0, 0, 0], 2.5)
+
+
+def test_inception_avgpool_swap_matches_reference_order():
+    """Eval-mode Inception3D with cin > n pools AFTER the 1x1x1 conv
+    (ops/nn.py swap branch).  conv + eval-BN affine are per-channel
+    linear and the count-divisor average pool is spatial linear, so the
+    swap must equal the reference order relu(BN(conv(avgpool(x)))) up to
+    float reassociation.  Pinned here directly on the conv4 algebra."""
+    import functools
+
+    from nestinet_tpu.ops import nn as nnops
+
+    rng_np = np.random.RandomState(0)
+    x = jnp.asarray(rng_np.randn(2, 8, 8, 8, 12), jnp.float32)
+
+    def f_ref(x, is_training):
+        ap = nnops.avg_pool3d(x, 3, 1, separable=True)
+        return nnops.ConvBN3D(4, 1, name="conv4")(ap, is_training, 0.5)
+
+    def f_swap(x, is_training):
+        y = nnops.ConvBN3D(4, 1, name="conv4", activation=None)(
+            x, is_training, 0.5
+        )
+        y = nnops.unwrap(y)[0]
+        return jax.nn.relu(
+            nnops.unwrap(nnops.avg_pool3d(y, 3, 1, separable=True))[0]
+        )
+
+    ref = hk.transform_with_state(f_ref)
+    swap = hk.transform_with_state(f_swap)
+    params, state0 = ref.init(jax.random.PRNGKey(0), x, True)
+    # one training call to populate the BN EMA (eval divides by 1-bias)
+    _, state = ref.apply(params, state0, None, x, True)
+    out_ref, _ = ref.apply(params, state, None, x, False)
+    # production trains in reference order and only swaps at EVAL: the
+    # swap graph must therefore reproduce out_ref from the SAME params
+    # and reference-trained BN state (identical tree: same module names).
+    out_swap, _ = swap.apply(params, state, None, x, False)
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_swap), rtol=2e-4, atol=2e-5
+    )
