@@ -43,7 +43,7 @@ from .predict import (
     load_run,
     restore_model,
 )
-from .writer import ShapeScatterWriter
+from .writer import AsyncShapeWriter, ShapeScatterWriter
 
 
 def _mesh_placers(mesh):
@@ -250,10 +250,11 @@ def predict_shapes_device(
         c.shape[0] if q is None else q.shape[0]
         for c, q in zip(clouds, queries_per_shape)
     ]
-    writer = ShapeScatterWriter(
+    inner_writer = ShapeScatterWriter(
         out_dir, shape_names, counts,
         n_experts=cfg.n_experts if cfg.model == "experts_n_est" else None,
     )
+    writer = AsyncShapeWriter(inner_writer)
 
     # restore once with a representative padded batch
     sample_pts = np.zeros(
@@ -335,14 +336,15 @@ def predict_shapes_device(
             n_patches += real
         if pending is not None:
             drain(pending)
+    writer.close()
     elapsed = time.perf_counter() - t0
 
-    assert writer.done, "writer did not consume all shapes"
+    assert inner_writer.done, "writer did not consume all shapes"
     return {
         "n_patches": n_patches,
         "seconds": elapsed,
         "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
-        "shapes": writer.written,
+        "shapes": inner_writer.written,
         "output_dir": out_dir,
     }
 

@@ -24,7 +24,7 @@ from ..data.loader import get_data_loader
 from ..models import build_model
 from ..models.experts import ExpertsNormEst
 from ..ops.gmm import GridGMM
-from .writer import ShapeScatterWriter
+from .writer import AsyncShapeWriter, ShapeScatterWriter
 
 
 # Process-level caches.  Serving entry points (predict_shapes,
@@ -332,15 +332,18 @@ def predict_shapes(
 
     fwd = _serving_jit(model, "dense_fwd", _make_fwd)
 
-    writer = ShapeScatterWriter(
+    inner_writer = ShapeScatterWriter(
         out_dir,
         dataset.shape_names,
         dataset.shape_patch_count,
         n_experts=cfg.n_experts if is_moe else None,
     )
+    writer = AsyncShapeWriter(inner_writer)
 
     def _drain(pending):
-        """Materialize a dispatched batch's outputs into the writer."""
+        """Materialize a dispatched batch's outputs into the writer.
+        The np.asarray is the synchronizing device fetch and stays on
+        this thread; the scatter/savetxt runs on the writer thread."""
         real, outs = pending
         if is_moe:
             packed = np.asarray(outs)[:real]
@@ -390,14 +393,15 @@ def predict_shapes(
         n_batches += 1
     if pending is not None:
         _drain(pending)
+    writer.close()
     elapsed = time.perf_counter() - t0
 
-    assert writer.done, "writer did not consume all shapes"
+    assert inner_writer.done, "writer did not consume all shapes"
     stats = {
         "n_patches": n_patches,
         "seconds": elapsed,
         "patches_per_sec": n_patches / elapsed if elapsed > 0 else float("inf"),
-        "shapes": writer.written,
+        "shapes": inner_writer.written,
         "output_dir": out_dir,
     }
     if trace.enabled:
@@ -490,15 +494,23 @@ class SparseMoeRouter:
         }
         self.table = model.expert_to_group()
 
-        self.store: dict[int, tuple] = {}  # patch idx -> (normal, expert, probs)
-        self.pending_normal: dict[int, int] = {}  # patch idx -> marker
-        # bucket entry: (global patch idx, flat FIFO index, batch index)
+        # Host bookkeeping is vectorized per BATCH, not per patch: the
+        # per-patch dict/list protocol of rounds 1-3 measured ~8 ms of
+        # untraced pure-python time per 512-batch on this 1-core host
+        # (~15 µs/patch).  Buckets hold (idxs, flats, b_idx) numpy
+        # SEGMENTS — one per (batch, winning expert) — and completed
+        # normals land in a fixed ring indexed by global patch id, so
+        # the in-order emit is ring slicing instead of dict pops.
         self.buckets = {e: [] for e in range(model.n_experts)}
+        self.bucket_count = {e: 0 for e in range(model.n_experts)}
+        # per-batch emit metadata, in batch order: [base, real, experts
+        # [real], probs [E, real]] — consumed as emit_ptr passes it.
+        self.emit_meta: list = []
         self.emit_ptr = 0
         self.n_patches = 0
         self.batch_i = 0  # batches dispatched through program A
         self.forced_flushes = 0
-        self.expert_pending: list[tuple[list[int], object]] = []
+        self.expert_pending: list[tuple[np.ndarray, object]] = []
         self.manager_queue: list[tuple] = []
         # Manager results are consumed DEPTH batches behind dispatch, so
         # by the time probs[i] is materialized on host its device->host
@@ -511,6 +523,17 @@ class SparseMoeRouter:
         # shrinks to W - depth batches, so keep depth well under W.
         depth_env = int(os.environ.get("NESTINET_MANAGER_DEPTH", "3"))
         self.depth = min(depth_env, self.W - 2) if self.W > 2 else 1
+
+        # Completed-normals ring: covers every patch that can be in
+        # flight at once — W FIFO batches + the manager-depth queue +
+        # the expert in-flight window (<=12 runs) — with slack.  A
+        # fixed ring makes completion a vectorized scatter and emit a
+        # contiguous slice; `_drain_expert_pending(0)` is forced if a
+        # write would ever lap the unread tail (can't happen at these
+        # sizes, asserted anyway).
+        self.R = (self.W + self.depth + 28) * batch_size
+        self.ring = np.zeros((self.R, 3), np.float32)
+        self.ready = np.zeros(self.R, bool)
 
         # FIFO rows are stored FLAT ([W, B, res^3 * C]) rather than in
         # grid shape: the last dim then tiles perfectly onto (8, 128)
@@ -556,22 +579,29 @@ class SparseMoeRouter:
     def finish(self, t0: float, out_dir: str) -> dict:
         while self.manager_queue:
             self._process_manager(self.manager_queue.pop(0))
-        for e, entries in self.buckets.items():  # flush partial buckets
-            while entries:
-                self._run_bucket(e, entries[: self.batch_size])
-                del entries[: self.batch_size]
+        for e in self.buckets:  # flush partial buckets
+            while self.bucket_count[e]:
+                idxs, flats = self._take(
+                    e, min(self.bucket_count[e], self.batch_size)
+                )
+                self._run_rows(e, idxs, flats)
         self._drain_expert_pending(0)
         self._emit()
+        inner = self.writer
+        if hasattr(inner, "close"):  # AsyncShapeWriter: drain + join
+            with self.trace("writer_close"):
+                inner.close()
+            inner = inner.writer
         elapsed = time.perf_counter() - t0
 
-        assert self.writer.done, "writer did not consume all shapes"
+        assert inner.done, "writer did not consume all shapes"
         stats = {
             "n_patches": self.n_patches,
             "seconds": elapsed,
             "patches_per_sec": (
                 self.n_patches / elapsed if elapsed > 0 else float("inf")
             ),
-            "shapes": self.writer.written,
+            "shapes": inner.written,
             "output_dir": out_dir,
             "forced_flushes": self.forced_flushes,
             "window_slots": self.W,
@@ -583,11 +613,36 @@ class SparseMoeRouter:
         return stats
 
     # ---- internals ----
-    def _run_bucket(self, e: int, entries):
+    def _take(self, e: int, n: int):
+        """Pop exactly n entries from bucket e's segment list (splitting
+        the last segment if needed); returns (idxs [n], flats [n])."""
+        segs = self.buckets[e]
+        parts_i, parts_f, got = [], [], 0
+        while got < n:
+            i, f, b = segs[0]
+            need = n - got
+            if i.shape[0] <= need:
+                parts_i.append(i)
+                parts_f.append(f)
+                segs.pop(0)
+                got += i.shape[0]
+            else:
+                parts_i.append(i[:need])
+                parts_f.append(f[:need])
+                segs[0] = (i[need:], f[need:], b)
+                got = n
+        self.bucket_count[e] -= n
+        if len(parts_i) == 1:
+            return parts_i[0], parts_f[0]
+        return np.concatenate(parts_i), np.concatenate(parts_f)
+
+    def _run_rows(self, e: int, idxs: np.ndarray, flats: np.ndarray):
+        """Dispatch one program-B run for bucket e over the given flat
+        FIFO rows."""
         gi, member = self.table[e]
-        idxs = [it[0] for it in entries]
-        flat = np.asarray([it[1] for it in entries], np.int32)
-        if len(entries) < self.batch_size:
+        n = idxs.shape[0]
+        flat = flats.astype(np.int32, copy=False)
+        if n < self.batch_size:
             self.forced_flushes += 1
             # Forced flushes (slot eviction, end-of-stream) usually hold
             # far fewer than batch_size entries; padding them to a
@@ -595,10 +650,8 @@ class SparseMoeRouter:
             # one cuts the wasted expert compute ~4x (jit re-specializes
             # per row count, so this costs one extra compile per group).
             small = max(32, self.batch_size // 4)
-            target = small if len(entries) <= small else self.batch_size
-            flat = np.concatenate(
-                [flat, np.zeros(target - len(entries), np.int32)]
-            )
+            target = small if n <= small else self.batch_size
+            flat = np.concatenate([flat, np.zeros(target - n, np.int32)])
         with self.trace("expert_dispatch"):
             normals_dev = self.expert_fns[gi](
                 self.params, self.state, self.buf, jnp.asarray(flat),
@@ -622,38 +675,80 @@ class SparseMoeRouter:
             idxs, dev = self.expert_pending.pop(0)
             with self.trace("normals_materialize"):
                 normals = np.asarray(dev)
-            for k, idx in enumerate(idxs):
-                e_id, probs_row = self.store[idx]
-                self.store[idx] = (normals[k], e_id, probs_row)
-                del self.pending_normal[idx]
+            # vectorized completion scatter into the ring (every idx is
+            # un-emitted, so emit_ptr <= idx < emit_ptr + R must hold)
+            assert int(idxs.max()) - self.emit_ptr < self.R, (
+                "normals ring lapped the unread tail"
+            )
+            slots = idxs % self.R
+            self.ring[slots] = normals[: idxs.shape[0]]
+            self.ready[slots] = True
 
     def _emit(self):
-        chunk_n, chunk_e, chunk_p = [], [], []
-        while self.emit_ptr in self.store and (
-            self.emit_ptr not in self.pending_normal
-        ):
-            nrm, e_id, probs_row = self.store.pop(self.emit_ptr)
-            chunk_n.append(nrm)
-            chunk_e.append(e_id)
-            chunk_p.append(probs_row)
-            self.emit_ptr += 1
-        if chunk_n:
-            with self.trace("emit_write"):
-                self.writer.append(
-                    np.stack(chunk_n),
-                    np.asarray(chunk_e, np.int64),
-                    np.stack(chunk_p),
-                )
+        """Drain the in-order prefix of completed patches to the writer
+        (ring slices + per-batch metadata — no per-patch python)."""
+        start = self.emit_ptr
+        out_n = []
+        while self.emit_ptr < self.n_patches:
+            s = self.emit_ptr % self.R
+            span = min(self.R - s, self.n_patches - self.emit_ptr)
+            flags = self.ready[s : s + span]
+            k = span if flags.all() else int(np.argmin(flags))
+            if k == 0:
+                break
+            out_n.append(self.ring[s : s + k].copy())
+            self.ready[s : s + k] = False
+            self.emit_ptr += k
+        if not out_n:
+            return
+        with self.trace("emit_write"):
+            normals = out_n[0] if len(out_n) == 1 else np.concatenate(out_n)
+            # expert ids + probs for [start, emit_ptr) from the
+            # per-batch metadata, consumed front-to-back
+            e_parts, p_parts = [], []
+            while self.emit_meta:
+                base, real, experts, probs = self.emit_meta[0]
+                lo = max(base, start)
+                hi = min(base + real, self.emit_ptr)
+                if hi <= lo:
+                    break
+                e_parts.append(experts[lo - base : hi - base])
+                p_parts.append(probs[:, lo - base : hi - base])
+                if hi == base + real:
+                    self.emit_meta.pop(0)
+                else:
+                    break
+            e_ids = (
+                e_parts[0] if len(e_parts) == 1 else np.concatenate(e_parts)
+            )
+            probs_rows = np.ascontiguousarray(
+                (p_parts[0] if len(p_parts) == 1 else np.concatenate(
+                    p_parts, axis=1
+                )).T
+            )
+            self.writer.append(
+                normals, e_ids.astype(np.int64), probs_rows
+            )
 
     def _evict_slot(self, slot: int):
-        """Flush every bucket entry whose grid lives in `slot` BEFORE
-        program A overwrites it.  Entries are appended in batch order,
-        so slot-matching entries sit at each bucket's head."""
-        for e, entries in self.buckets.items():
-            while entries and entries[0][2] % self.W == slot:
-                chunk = [it for it in entries if it[2] % self.W == slot]
-                self._run_bucket(e, chunk[: self.batch_size])
-                del entries[: len(chunk[: self.batch_size])]
+        """Flush every bucket segment whose grids live in `slot` BEFORE
+        program A overwrites it.  Segments are appended in batch order,
+        so slot-matching segments sit at each bucket's head (at most one
+        batch occupies a slot — it is evicted before reuse)."""
+        for e, segs in self.buckets.items():
+            take_i, take_f, taken = [], [], 0
+            while segs and segs[0][2] % self.W == slot:
+                i, f, _ = segs.pop(0)
+                take_i.append(i)
+                take_f.append(f)
+                taken += i.shape[0]
+            if taken:
+                self.bucket_count[e] -= taken
+                self._run_rows(
+                    e,
+                    np.concatenate(take_i) if len(take_i) > 1 else take_i[0],
+                    np.concatenate(take_f) if len(take_f) > 1 else take_f[0],
+                )
 
     def _process_manager(self, pending):
         # The remote-TPU relay downloads at ~1.5 MB/s with a ~24 ms
@@ -663,19 +758,23 @@ class SparseMoeRouter:
         b_idx, real, probs_dev = pending
         with self.trace("probs_materialize"):
             probs = np.asarray(probs_dev)  # [E, batch]
-        experts = np.argmax(probs[:, :real], axis=0)
-        for r in range(real):
-            idx = self.n_patches + r
-            self.store[idx] = (int(experts[r]), probs[:, r])
-            self.pending_normal[idx] = 1
-            self.buckets[int(experts[r])].append(
-                (idx, (b_idx % self.W) * self.batch_size + r, b_idx)
-            )
+        probs = probs[:, :real]
+        experts = np.argmax(probs, axis=0)
+        base = self.n_patches
+        idxs = base + np.arange(real, dtype=np.int64)
+        flats = (b_idx % self.W) * self.batch_size + np.arange(
+            real, dtype=np.int32
+        )
+        self.emit_meta.append((base, real, experts, probs))
+        for e in np.unique(experts):
+            m = experts == e
+            self.buckets[int(e)].append((idxs[m], flats[m], b_idx))
+            self.bucket_count[int(e)] += int(m.sum())
         self.n_patches += real
-        for e, entries in self.buckets.items():
-            while len(entries) >= self.batch_size:
-                self._run_bucket(e, entries[: self.batch_size])
-                del entries[: self.batch_size]
+        for e in self.buckets:
+            while self.bucket_count[e] >= self.batch_size:
+                bi, bf = self._take(e, self.batch_size)
+                self._run_rows(e, bi, bf)
         self._emit()
 
 
@@ -704,10 +803,10 @@ def _predict_sparse_moe(
 
     manager_fn = _serving_jit(model, "manager_store", _make_manager_store)
 
-    writer = ShapeScatterWriter(
+    writer = AsyncShapeWriter(ShapeScatterWriter(
         out_dir, dataset.shape_names, dataset.shape_patch_count,
         n_experts=cfg.n_experts,
-    )
+    ))
     router = SparseMoeRouter(
         model, params, state, cfg, writer, batch_size,
         window_slots=window_slots, trace=trace, mesh=mesh,

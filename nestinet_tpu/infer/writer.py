@@ -80,3 +80,61 @@ class ShapeScatterWriter:
     @property
     def done(self) -> bool:
         return self.shape_ind >= len(self.shape_names)
+
+
+class AsyncShapeWriter:
+    """Threaded front-end for ShapeScatterWriter.
+
+    The serving loops spend most of each step blocked in device->host
+    fetches (GIL released), while result formatting — np.stack over the
+    emit chunks, the scatter copy, and np.savetxt on shape completion —
+    is pure host work measured at ~19 µs/patch on this 1-core host
+    (~10% of device-sparse wall time at B=1024).  Routing appends
+    through a single worker thread moves that work into the fetch
+    windows; one bounded queue preserves order, and worker exceptions
+    re-raise on the next append() or at close() (same error-surfacing
+    contract as the checkpoint writer).
+
+    The wrapped writer must only be touched by the worker after
+    construction; callers read `writer.done` / `writer.written` after
+    `close()` returns.
+    """
+
+    def __init__(self, writer: ShapeScatterWriter, maxsize: int = 64):
+        import queue
+        import threading
+
+        self.writer = writer
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._loop, name="shape-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                fn, args = item
+                fn(*args)
+            except BaseException as e:  # surfaced on append()/close()
+                self._err = e
+                return
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async shape writer failed") from err
+
+    def append(self, *arrays):
+        self._check()
+        self._q.put((self.writer.append, arrays))
+
+    def close(self):
+        """Drain the queue, stop the worker, re-raise any worker error."""
+        self._q.put(None)
+        self._thread.join()
+        self._check()
