@@ -117,12 +117,13 @@ class AsyncShapeWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._err is not None:
+                continue  # keep draining so a full queue can't block put()
             try:
                 fn, args = item
                 fn(*args)
             except BaseException as e:  # surfaced on append()/close()
                 self._err = e
-                return
 
     def _check(self):
         if self._err is not None:

@@ -166,6 +166,43 @@ def test_shape_scatter_writer(tmp_path):
     assert pa.shape == (5, 2)
 
 
+def test_async_shape_writer_matches_sync(tmp_path):
+    from nestinet_tpu.infer.writer import AsyncShapeWriter
+
+    out = str(tmp_path / "results")
+    writer = AsyncShapeWriter(ShapeScatterWriter(out, ["a", "b"], [5, 3]))
+    normals = np.arange(24, dtype=np.float64).reshape(8, 3)
+    writer.append(normals[:2])
+    writer.append(normals[2:7])
+    writer.append(normals[7:])
+    writer.close()
+    assert writer.writer.done
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(out, "a.normals")), normals[:5]
+    )
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(out, "b.normals")), normals[5:]
+    )
+
+
+def test_async_shape_writer_surfaces_worker_error(tmp_path):
+    """A worker exception re-raises on close() and never deadlocks
+    put() even when appends keep coming past a small queue bound."""
+    import pytest
+
+    from nestinet_tpu.infer.writer import AsyncShapeWriter
+
+    class Boom:
+        def append(self, *a):
+            raise ValueError("boom")
+
+    writer = AsyncShapeWriter(Boom(), maxsize=2)
+    with pytest.raises(RuntimeError, match="async shape writer"):
+        for _ in range(50):  # > maxsize: would deadlock without draining
+            writer.append(np.zeros((1, 3)))
+        writer.close()
+
+
 # ---- augmentations ----
 
 def test_augmentations(rng):
