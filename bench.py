@@ -335,27 +335,36 @@ def main():
             # int8 runs the conv/matmul MACs quantized (ops/quant.py) —
             # the only lever past the bf16 conv roofline (PERF.md); RMS
             # delta vs bf16 is pinned in QUALITY.md.
-            ("device_sparse", "int8"),
-            ("device_sparse", "bfloat16"),
-            ("sparse", "bfloat16"),
-            ("dense", "bfloat16"),
+            # The headline int8 mode runs at B=1024: the round-4 batch
+            # sweep measured program A scaling linearly with B while
+            # the per-batch fixed terms amortize (PERF.md "batch sweep"
+            # section); bf16's operating point stays B=256 (its B=512
+            # compile hit an XLA layout cliff, PERF.md).  QUALITY.md
+            # pins int8 RMS at this batch size (activation-quant scales
+            # are per-tensor over the batch, so B changes numerics).
+            ("device_sparse", "int8", 1024),
+            ("device_sparse", "bfloat16", BATCH),
+            ("sparse", "bfloat16", BATCH),
+            ("dense", "bfloat16", BATCH),
         ]
-        for mode, dtype in sweep:
+        mode_batch = {}
+        for mode, dtype, mbatch in sweep:
             name = f"{mode}_{dtype or 'cfg'}"
+            mode_batch[name] = mbatch
             if mode.startswith("device"):
                 # upload the cloud once; ball query + MuPS + CNN fused
                 # into one program per batch (ops/ball_query.py)
-                def run(tag, _m=mode.split("_", 1)[1], _d=dtype):
+                def run(tag, _m=mode.split("_", 1)[1], _d=dtype, _b=mbatch):
                     return predict_shapes_device(
                         run_path, dataset_name=tag, testset="benchset.txt",
-                        data_path=root, batch_size=BATCH,
+                        data_path=root, batch_size=_b,
                         moe_inference=_m, compute_dtype=_d,
                     )
             else:
-                def run(tag, _m=mode, _d=dtype):
+                def run(tag, _m=mode, _d=dtype, _b=mbatch):
                     return predict_shapes(
                         run_path, dataset_name=tag, testset="benchset.txt",
-                        data_path=root, batch_size=BATCH, loader_workers=8,
+                        data_path=root, batch_size=_b, loader_workers=8,
                         moe_inference=_m, compute_dtype=_d,
                     )
             try:
@@ -420,6 +429,7 @@ def main():
                     k for k, v in spread.items() if v > 0.10
                 ),
                 "mode_warmup_s": warmups,
+                "mode_batch": mode_batch,
                 "parity_pinned_modes": sorted(parity_pinned & set(rates)),
             }
         )
