@@ -37,6 +37,7 @@ class Config:
     identical_epochs: bool = False
     patch_center: str = "point"
     use_pca: bool = False
+    point_tuple: int = 1  # n-tuples of points as input (provider.py:341)
     patch_point_count_std: float = 0.0
     cache_capacity: int = 100
     insert_rotation_augmentation: bool = False

@@ -63,6 +63,7 @@ class PatchDataset:
         identical_epochs: bool = False,
         use_pca: bool = False,
         center: str = "point",
+        point_tuple: int = 1,
         point_count_std: float = 0.0,
         cache_capacity: int = 100,
         sparse_patches: bool = False,
@@ -76,17 +77,24 @@ class PatchDataset:
         self.identical_epochs = identical_epochs
         self.use_pca = use_pca
         self.center = center
+        self.point_tuple = int(point_tuple)
+        if self.point_tuple < 1:
+            raise ValueError(f"point_tuple must be >= 1, got {point_tuple}")
         self.point_count_std = float(point_count_std)
         self.sparse_patches = sparse_patches
 
         # The C++ kd-tree engine covers the default hot path (no PCA, no
-        # density augmentation); other paths fall back to scipy/numpy.
+        # density augmentation, single points); other paths fall back to
+        # scipy/numpy.
         if use_native:
             from . import native as _native
 
             use_native = _native.available()
         self.use_native = (
-            use_native and not use_pca and float(point_count_std) == 0.0
+            use_native
+            and not use_pca
+            and float(point_count_std) == 0.0
+            and self.point_tuple == 1
         )
 
         self.include_normals = "normal" in self.features
@@ -206,6 +214,7 @@ class PatchDataset:
         patch_pts = np.zeros((n_scales * N, 3), dtype=np.float32)
         n_eff = np.zeros((n_scales,), dtype=np.int32)
         valid_rows = []
+        filled = []  # rows actually written per scale (post density aug)
         rng = self._item_rng(index)
 
         for s, rad in enumerate(self.patch_radius_absolute[shape_ind]):
@@ -230,6 +239,7 @@ class PatchDataset:
             start = s * N
             end = start + count
             valid_rows.extend(range(start, end))
+            filled.append(count)
             sel = shape.pts[inds].astype(np.float32)
 
             # Centering (only valid rows — padded zeros stay zero).
@@ -267,6 +277,33 @@ class PatchDataset:
         else:
             trans = np.eye(3, dtype=np.float32)
         item["trans"] = trans
+
+        if self.point_tuple > 1:
+            # Point tuples as an alternative patch encoding (parity:
+            # `pcpnet_dataset.py:380-404`): per scale, enumerate the
+            # count^T ordered T-tuples of the patch's (already centered,
+            # scaled, optionally PCA-rotated) points; when that exceeds
+            # points_per_patch, draw a uniform without-replacement subset.
+            # Rows beyond the tuple count stay zero, mirroring the single-
+            # point layout's zero padding; n_eff keeps the reference's
+            # semantics (the ball's point count, not the tuple count).
+            T = self.point_tuple
+            tuples = np.zeros((n_scales * N, 3 * T), dtype=np.float32)
+            for s in range(n_scales):
+                start = s * N
+                count = int(filled[s])
+                tuple_count = count**T
+                if tuple_count > N:
+                    lin = rng.choice(tuple_count, N, replace=False)
+                    tuple_count = N
+                else:
+                    lin = np.arange(tuple_count)
+                multi = np.unravel_index(lin, (count,) * T)
+                for t in range(T):
+                    tuples[start : start + tuple_count, 3 * t : 3 * (t + 1)] = (
+                        patch_pts[start + multi[t]]
+                    )
+            item["points"] = tuples
 
         if self.include_normals:
             item["normals"] = patch_normal

@@ -118,6 +118,7 @@ def get_data_loader(
     identical_epochs: bool = False,
     use_pca: bool = False,
     patch_center: str = "point",
+    point_tuple: int = 1,
     cache_capacity: int = 100,
     patches_per_shape: int = 1000,
     patch_sample_order: str = "random",
@@ -156,6 +157,7 @@ def get_data_loader(
         identical_epochs=identical_epochs,
         use_pca=use_pca,
         center=patch_center,
+        point_tuple=point_tuple,
         cache_capacity=cache_capacity,
         sparse_patches=sparse_patches,
         use_native=use_native,

@@ -93,6 +93,7 @@ class Trainer:
             identical_epochs=cfg.identical_epochs,
             use_pca=cfg.use_pca,
             patch_center=cfg.patch_center,
+            point_tuple=cfg.point_tuple,
             cache_capacity=cfg.cache_capacity,
             patches_per_shape=cfg.patches_per_shape,
             patch_sample_order="random",
@@ -111,6 +112,7 @@ class Trainer:
             identical_epochs=cfg.identical_epochs,
             use_pca=cfg.use_pca,
             patch_center=cfg.patch_center,
+            point_tuple=cfg.point_tuple,
             cache_capacity=cfg.cache_capacity,
             patches_per_shape=cfg.patches_per_shape,
             patch_sample_order="random",

@@ -232,3 +232,92 @@ def test_modelnet_h5_roundtrip(tmp_path):
     assert len(batches) == 2 and batches[0][0].shape == (4, 64, 3)
     sd, sl, idx = modelnet.shuffle_data(data, label[:, 0], seed=1)
     np.testing.assert_array_equal(sd, data[idx])
+
+
+def test_point_tuple_parity(dataset_dir):
+    """`point_tuple` parity with `pcpnet_dataset.py:380-404`: per scale,
+    the count^T ordered tuples of the patch's processed points (uniform
+    without-replacement subset when they exceed points_per_patch), rows
+    beyond the tuple count zero, n_eff unchanged.  The expected result
+    is rebuilt here from the single-point output with the same item RNG
+    protocol (tuple draw = the draw after the ball-subsample draws)."""
+    T = 2
+    ds = _make_dataset(dataset_dir, point_tuple=T, use_native=False)
+    assert not ds.use_native  # tuples force the scipy path
+    base = _make_dataset(dataset_dir, use_native=False)
+
+    # a near-empty-ball dataset exercises the exhaustive (count^T <= N)
+    # branch, where the tuples enumerate ALL pairs in unravel order
+    tiny = _make_dataset(
+        dataset_dir, point_tuple=T, use_native=False, patch_radius=[0.004, 0.1]
+    )
+    tiny_base = _make_dataset(
+        dataset_dir, use_native=False, patch_radius=[0.004, 0.1]
+    )
+
+    checked_subsampled = checked_exhaustive = False
+    for index, ds, base in (
+        (0, ds, base), (42, ds, base), (563, ds, base), (700, ds, base),
+        (0, tiny, tiny_base), (563, tiny, tiny_base),
+    ):
+        item = ds[index]
+        single = base[index]
+        pts, n_eff = item["points"], item["n_eff"]
+        assert pts.shape == (2 * N_PER_PATCH, 3 * T)
+        assert np.array_equal(n_eff, single["n_eff"])
+
+        # reference-style reconstruction from the single-point patch
+        rng = ds._item_rng(index)
+        shape_ind, patch_ind = ds.shape_index(index)
+        shape = ds.shape_cache.get(shape_ind)
+        center = shape.pts[patch_ind]
+        expected = np.zeros((2 * N_PER_PATCH, 3 * T), np.float32)
+        counts = []
+        for rad in ds.patch_radius_absolute[shape_ind]:
+            inds = shape.kdtree.query_ball_point(center, rad)
+            count = min(N_PER_PATCH, len(inds))
+            if count < len(inds):  # consume the ball-subsample draw
+                rng.choice(len(inds), count, replace=False)
+            counts.append(count)
+        for s, count in enumerate(counts):
+            start = s * N_PER_PATCH
+            tuple_count = count**T
+            if tuple_count > N_PER_PATCH:
+                lin = rng.choice(tuple_count, N_PER_PATCH, replace=False)
+                tuple_count = N_PER_PATCH
+                checked_subsampled = True
+            else:
+                lin = np.arange(tuple_count)
+                checked_exhaustive = True
+            multi = np.unravel_index(lin, (count,) * T)
+            for t in range(T):
+                expected[start : start + tuple_count, 3 * t : 3 * (t + 1)] = (
+                    single["points"][start + multi[t]]
+                )
+        np.testing.assert_array_equal(pts, expected)
+
+        # every tuple element is a real (processed) patch point
+        for s in range(2):
+            rows = pts[s * N_PER_PATCH : (s + 1) * N_PER_PATCH]
+            live = rows[np.any(rows != 0, axis=1)]
+            patch = single["points"][s * N_PER_PATCH : (s + 1) * N_PER_PATCH]
+            patch = patch[: single["n_eff"][s]]
+            for t in range(T):
+                elem = live[:, 3 * t : 3 * (t + 1)]
+                if elem.shape[0] == 0:
+                    continue  # empty ball at this scale
+                d = np.linalg.norm(elem[:, None] - patch[None], axis=-1)
+                assert d.min(axis=1).max() == 0.0
+    assert checked_subsampled and checked_exhaustive
+
+
+def test_point_tuple_via_loader(dataset_dir):
+    loader, dataset = get_data_loader(
+        "trainingset.txt", indir=dataset_dir, batch_size=8,
+        patch_radius=RADII, points_per_patch=N_PER_PATCH,
+        outputs=("unoriented_normals",), seed=3627473, point_tuple=3,
+        patch_sample_order="full", workers=0,
+    )
+    batch = next(iter(loader))
+    assert batch["points"].shape == (8, 2 * N_PER_PATCH, 9)
+    assert np.isfinite(batch["points"]).all()
