@@ -76,3 +76,30 @@ def param_shardings(params, mesh: Mesh, *, moe: bool = False):
     if moe:
         return moe_param_shardings(params, mesh)
     return jax.tree.map(lambda _: replicated(mesh), params)
+
+
+def opt_state_shardings(opt_state, params_sharding_tree, mesh: Mesh):
+    """Sharding tree for an optax state: any sub-tree whose structure
+    matches the parameter tree (Adam's mu/nu moments, SGD's momentum
+    trace) inherits the parameters' shardings leaf-for-leaf; everything
+    else (step counters, schedule state) is replicated.
+
+    Replicating the moments of an expert-sharded stack would waste
+    2x the stack's HBM per device AND force the partitioner to
+    all-gather the sharded gradients into them each step — matching
+    shardings keep the whole update local to the expert shard."""
+    rep = replicated(mesh)
+    p_struct = jax.tree_util.tree_structure(params_sharding_tree)
+
+    def is_params_like(x):
+        try:
+            return jax.tree_util.tree_structure(x) == p_struct
+        except Exception:
+            return False
+
+    def assign(x):
+        if is_params_like(x):
+            return params_sharding_tree
+        return jax.tree.map(lambda _: rep, x)
+
+    return jax.tree.map(assign, opt_state, is_leaf=is_params_like)

