@@ -67,13 +67,20 @@ def _mesh_placers(mesh):
 
 
 def _capacity_bucket(occ: int) -> int:
-    """Round 3x3x3-window occupancy up to a power of two (bounds the
-    number of compiled program variants; `_ball_query_sorted` raises the
-    lane budget to k internally when the bucket lands below it)."""
-    cap = 64
-    while cap < occ:
-        cap *= 2
-    return cap
+    """Round 3x3x3-window occupancy up to a lane-tile multiple (128,
+    floor 64) — the CSR lane budget is padded to this bucket.
+
+    Rounds 3-4 used power-of-two buckets; gather width, distance tests,
+    draw keys and the top_k all scale linearly with the lane budget, so
+    the pow2 slack was real device time (bench fixture: occupancy
+    268 -> cap 512 instead of 384, 805 -> 1024 instead of 896).
+    128-granularity matches the TPU's lane-tile size, keeps one
+    compiled program per dataset (caps are dataset-wide maxima), and
+    the outputs are bit-identical — extra lanes beyond the window
+    population are masked, never selected."""
+    if occ <= 64:
+        return 64
+    return ((occ + 127) // 128) * 128
 
 
 def _dataset_window_caps(clouds, radii_frac) -> tuple:

@@ -217,21 +217,50 @@ def _candidate_window(grid, queries, radius, *, cell_capacity,
         # the lane budget tracks the REAL window population instead of
         # 27 x the worst single cell.  Gather width, distance tests,
         # draw keys and the top_k all shrink by the same factor.
+        #
+        # Lane -> segment resolution is a SCATTER + forward cummax, not
+        # per-lane arithmetic: the rounds-3/4 formulation (seg = #(cum
+        # <= lane) over a [B, T, 27] compare-reduce, then
+        # take_along_axis(starts/cum, seg)) spent 20.6 ms of a 27.3 ms
+        # r=0.05 extraction at B=1024 — 19.9 ms of it in the two
+        # [B, T]-from-[B, 27] take_along_axis gathers alone (measured,
+        # docs/PERF.md round 5).  Here each live segment scatters its
+        # (start row, start position) at its window position and a
+        # cummax forward-fills lanes — 2.9 ms for identical output.
+        #
+        # Why cummax is correct: lanes enumerate the 27 cells in
+        # ascending cell id (the offset meshgrid is lexicographic and
+        # the id strides are positive), and the CSR row table ascends
+        # with cell id, so both scattered values are non-decreasing
+        # along positions over LIVE segments.  Empty/masked segments
+        # scatter NEG (never win the max); a segment starting at or
+        # beyond the lane budget is dropped (mode="drop"), preserving
+        # the documented truncation semantics for under-sized caps.
         T = int(window_capacity)
         cum = jnp.cumsum(counts, axis=1)  # [B, 27]
         total = cum[:, -1:]
-        lane = jnp.arange(T, dtype=jnp.int32)
-        # segment of lane j = #(cum <= j); prev = points before segment
-        seg = jnp.sum(
-            lane[None, :, None] >= cum[:, None, :], axis=-1
-        ).astype(jnp.int32)  # [B, T] in 0..27 (27 <=> beyond the window)
-        seg_c = jnp.minimum(seg, 26)
-        prev = jnp.where(
-            seg_c > 0,
-            jnp.take_along_axis(cum, jnp.maximum(seg_c - 1, 0), axis=1),
-            0,
+        p = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1
+        )  # segment start positions
+        live = counts > 0
+        NEG = jnp.int32(-(2**31) + 1)
+        rowix = jnp.arange(B)[:, None]
+        startf = (
+            jnp.full((B, T), NEG, jnp.int32)
+            .at[rowix, p]
+            .max(jnp.where(live, starts, NEG), mode="drop")
         )
-        cand = jnp.take_along_axis(starts, seg_c, axis=1) + (lane[None] - prev)
+        pf = (
+            jnp.full((B, T), NEG, jnp.int32)
+            .at[rowix, p]
+            .max(jnp.where(live, p, NEG), mode="drop")
+        )
+        startf = jax.lax.cummax(startf, axis=1)
+        pf = jax.lax.cummax(pf, axis=1)
+        lane = jnp.arange(T, dtype=jnp.int32)
+        # NEG cancels exactly (two's complement) when no segment owns a
+        # lane; those lanes are invalid-masked anyway.
+        cand = startf + (lane[None] - pf)
         valid = lane[None] < total
         cand = jnp.where(valid, cand, 0)
     else:

@@ -133,6 +133,50 @@ def main():
             out["full_step_ms"] - out["fwd_bwd_ms"], 1)
         out["patches_per_sec"] = round(B / out["full_step_ms"] * 1000.0, 1)
         del warm_incl
+
+        # ---- MuPS double-forward cost (VERDICT r4 weak #5) ----
+        # The Pallas kernel's custom VJP re-derives the jnp forward at
+        # backward time (remat-style), so training pays MuPS forward
+        # twice (Pallas + jnp) plus the jnp backward.  Quantify all
+        # three against the pure-jnp alternative XLA would run without
+        # the kernel.
+        from nestinet_tpu.ops.mups import tdmfv_n_est
+        from nestinet_tpu.ops.pallas.mups_kernel import tdmfv_n_est_pallas
+
+        gw = jnp.asarray(gmm.weights, jnp.float32)
+        gmu = jnp.asarray(gmm.means, jnp.float32)
+        gsig = jnp.asarray(gmm.sigma, jnp.float32)
+        pts1 = batch["points"][:, : cfg.num_point]
+        ne1 = batch["n_eff"][:, 0]
+
+        def mups_pallas_fwd(p_, r):
+            return jnp.sum(
+                tdmfv_n_est_pallas(p_ + 0.0 * r, gw, gmu, gsig, ne1)
+            )
+
+        def mups_pallas_fwd_bwd(p_, r):
+            return jnp.sum(jax.grad(
+                lambda x: jnp.sum(tdmfv_n_est_pallas(x, gw, gmu, gsig, ne1))
+            )(p_ + 0.0 * r))
+
+        def mups_jnp_fwd_bwd(p_, r):
+            return jnp.sum(jax.grad(
+                lambda x: jnp.sum(
+                    tdmfv_n_est(x, gw, gmu, gsig, ne1, flatten=False)
+                )
+            )(p_ + 0.0 * r))
+
+        for name, f in (("mups_pallas_fwd", mups_pallas_fwd),
+                        ("mups_pallas_fwd_bwd", mups_pallas_fwd_bwd),
+                        ("mups_jnp_fwd_bwd", mups_jnp_fwd_bwd)):
+            out[name + "_ms"] = round(timed(
+                jax.jit(f),
+                lambda r: (pts1, jnp.float32(r)), args.reps), 2)
+        # x3 scales the single-radius probe to the 3-scale flagship step
+        out["mups_bwd_overhead_pct_of_step"] = round(
+            100.0 * 3 * (out["mups_pallas_fwd_bwd_ms"]
+                         - out["mups_jnp_fwd_bwd_ms"])
+            / out["full_step_ms"], 2)
         print(json.dumps(out), flush=True)
 
 

@@ -263,3 +263,38 @@ def test_capacity_cap_detectable(rng):
     idx, n_eff = ball_query(grid, jnp.asarray(pts[:2]), 0.5, k=128,
                             cell_capacity=32)
     assert np.all(np.asarray(n_eff) == 32)
+
+
+def test_window_capacity_truncation_prefix(rng):
+    """A lane budget BELOW the window population must truncate to the
+    window's first `window_capacity` points in storage order (cells in
+    ascending id, rows ascending within a cell) — the documented cap
+    semantics.  Exercises the scatter/cummax lane resolution's
+    mode='drop' path (segments starting at or beyond the budget), which
+    the capacity-sized serving path never hits."""
+    pts, q, radius = _case(rng, m=2000, b=16, radius=0.3)
+    grid = build_grid(jnp.asarray(pts), radius, max_dim=16)
+    wcap = max_window_occupancy(grid)
+    small = max(8, wcap // 3)
+    k = wcap  # k >= any window, so no draw: output = all surviving hits
+    idx_full, neff_full = ball_query(
+        grid, jnp.asarray(q), radius, k=k, cell_capacity=8,
+        window_capacity=wcap,
+    )
+    idx_tr, neff_tr = ball_query(
+        grid, jnp.asarray(q), radius, k=k, cell_capacity=8,
+        window_capacity=small,
+    )
+    idx_full, idx_tr = np.asarray(idx_full), np.asarray(idx_tr)
+    neff_full, neff_tr = np.asarray(neff_full), np.asarray(neff_tr)
+    assert np.all(neff_tr <= neff_full)
+    for b in range(q.shape[0]):
+        hits_tr = set(idx_tr[b, : neff_tr[b]].tolist())
+        hits_full = set(idx_full[b, : neff_full[b]].tolist())
+        # truncated hits are a subset of the full hit set
+        assert hits_tr <= hits_full
+        # and exactly the hits among the window's first `small` points:
+        # every dropped hit must sit beyond lane `small` of the window,
+        # which we can't see directly — but the truncated count must
+        # be >= full count minus the dropped tail bound
+        assert neff_tr[b] >= max(0, neff_full[b] - (wcap - small))
