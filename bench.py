@@ -411,6 +411,10 @@ def main():
                 "metric": "pcpnet_moe_inference_points_per_sec_per_chip",
                 "value": round(ours, 2),
                 "unit": "points/s",
+                # one patch predicts one query point's normal, so
+                # patches/s == points/s (ADVICE r4: the metric name and
+                # the prose "patches/s" are the same quantity)
+                "unit_note": "1 patch = 1 query point; patches/s == points/s",
                 "vs_baseline": round(ours / ref_rate, 2),
                 # provenance fields (VERDICT r2): the denominator is
                 # relay-RTT-bound and drifts with relay weather — record
