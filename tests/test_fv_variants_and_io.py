@@ -118,3 +118,87 @@ def test_volume_roundtrip(rng):
     views = point_cloud_three_views(pts, img_size=32)
     assert views.shape == (32, 96)
     assert views.max() <= 1.0
+
+
+def test_ply_mixed_scalar_and_list_element(tmp_path, rng):
+    """Elements mixing scalar and list properties (plyfile.py:364-916
+    supports these; pre-round-5 the reader assumed all-or-nothing)."""
+    from nestinet_tpu.data.ply import write_ply_elements
+
+    faces = np.asarray([[0, 1, 2], [2, 3, 0], [1, 2, 3]], np.int32)
+    quality = np.asarray([0.5, 0.25, 0.125], np.float32)
+    flags = np.asarray([1, 0, 7], np.uint8)
+    for binary in (True, False):
+        path = str(tmp_path / f"mixed_{binary}.ply")
+        write_ply_elements(
+            path,
+            {"face": {"quality": quality, "vertex_indices": faces,
+                      "flags": flags}},
+            binary=binary,
+        )
+        data = read_ply(path)["face"]
+        assert isinstance(data, dict)
+        np.testing.assert_allclose(data["quality"], quality, atol=1e-6)
+        np.testing.assert_array_equal(data["vertex_indices"], faces)
+        np.testing.assert_array_equal(data["flags"], flags)
+
+
+def test_ply_multiple_list_properties_and_ragged(tmp_path):
+    from nestinet_tpu.data.ply import write_ply_elements
+
+    ragged = [[0, 1, 2, 3], [4, 5], [6, 7, 8]]
+    tris = np.asarray([[0, 1, 2], [1, 2, 3], [2, 3, 4]], np.int32)
+    for binary in (True, False):
+        path = str(tmp_path / f"multi_{binary}.ply")
+        write_ply_elements(
+            path, {"cells": {"poly": ragged, "tri": tris}}, binary=binary
+        )
+        data = read_ply(path)["cells"]
+        assert [list(r) for r in data["poly"]] == ragged
+        np.testing.assert_array_equal(data["tri"], tris)
+
+
+def test_ply_arbitrary_extra_element(tmp_path, rng):
+    """Arbitrary non-vertex/face elements round-trip (general PLY)."""
+    from nestinet_tpu.data.ply import write_ply_elements
+
+    pts = rng.randn(5, 3).astype(np.float32)
+    write_ply_elements(
+        str(tmp_path / "extra.ply"),
+        {
+            "vertex": {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]},
+            "camera": {"fx": np.asarray([500.0], np.float32),
+                       "cx": np.asarray([320.0], np.float32)},
+        },
+        binary=True,
+    )
+    data = read_ply(str(tmp_path / "extra.ply"))
+    np.testing.assert_allclose(read_ply_points(str(tmp_path / "extra.ply")),
+                               pts, atol=1e-6)
+    assert float(data["camera"]["fx"][0]) == 500.0
+    assert float(data["camera"]["cx"][0]) == 320.0
+
+
+def test_ply_big_endian_mixed(tmp_path):
+    """Hand-built big-endian file with a mixed element parses."""
+    header = (
+        b"ply\nformat binary_big_endian 1.0\n"
+        b"comment hand built\nobj_info test\n"
+        b"element face 2\n"
+        b"property float quality\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    body = b""
+    for q, idxs in ((1.5, [0, 1, 2]), (2.5, [3, 4, 5, 6])):
+        body += np.array([q], ">f4").tobytes()
+        body += np.uint8(len(idxs)).tobytes()
+        body += np.asarray(idxs, ">i4").tobytes()
+    path = str(tmp_path / "be.ply")
+    with open(path, "wb") as f:
+        f.write(header + body)
+    data = read_ply(path)["face"]
+    np.testing.assert_allclose(data["quality"], [1.5, 2.5])
+    assert [list(map(int, r)) for r in data["vertex_indices"]] == [
+        [0, 1, 2], [3, 4, 5, 6]
+    ]
