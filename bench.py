@@ -335,13 +335,17 @@ def main():
             # int8 runs the conv/matmul MACs quantized (ops/quant.py) —
             # the only lever past the bf16 conv roofline (PERF.md); RMS
             # delta vs bf16 is pinned in QUALITY.md.
-            # The headline int8 mode runs at B=1024: the round-4 batch
-            # sweep measured program A scaling linearly with B while
-            # the per-batch fixed terms amortize (PERF.md "batch sweep"
-            # section); bf16's operating point stays B=256 (its B=512
-            # compile hit an XLA layout cliff, PERF.md).  QUALITY.md
-            # pins int8 RMS at this batch size (activation-quant scales
-            # are per-tensor over the batch, so B changes numerics).
+            # The headline int8 mode runs at B=1024: the batch sweeps
+            # (PERF.md rounds 4-5) measured program A scaling ~linearly
+            # to 1024 while fixed terms amortize, and B=2048 regressing
+            # (superlinear program A + FIFO-window collapse).  bf16
+            # stays at B=256 because that is the batch its QUALITY.md
+            # pin was measured at (the round-4 B=512 compile cliff was
+            # root-caused to the old CSR window math and is fixed —
+            # PERF.md round 5 — but a new batch size needs a new pin
+            # and bf16 is not the headline).  QUALITY.md pins int8 RMS
+            # at B=1024 (activation-quant scales are per-tensor over
+            # the batch, so B changes numerics).
             ("device_sparse", "int8", 1024),
             ("device_sparse", "bfloat16", BATCH),
             ("sparse", "bfloat16", BATCH),
