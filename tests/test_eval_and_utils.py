@@ -260,3 +260,63 @@ def test_evaluate_dense_predictions_full_shape(tmp_path):
     sub = evaluate_dataset(str(data), str(results), "mini",
                            sparse_patches=True, log=lambda s: None)
     assert full["rms"] < 1e-3 and sub["rms"] < 1e-3
+
+
+def test_opt_state_shardings_moe():
+    """Optimizer moments follow their parameters' shardings; counters
+    replicate (train/mesh.py::opt_state_shardings, round 5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nestinet_tpu.train.mesh import (
+        EXPERT_AXIS,
+        make_mesh,
+        moe_param_shardings,
+        opt_state_shardings,
+        replicated,
+    )
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(2, 2)
+    params = {
+        "group0": {"w": jnp.zeros((4, 8)), "b": jnp.zeros((4,))},
+        "manager": {"w": jnp.zeros((8, 8))},
+    }
+    p_sh = moe_param_shardings(params, mesh)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    o_sh = opt_state_shardings(opt, p_sh, mesh)
+
+    flat_o, _ = jax.tree_util.tree_flatten(opt)
+    flat_sh = jax.tree.leaves(o_sh)
+    assert len(flat_o) == len(flat_sh)
+    rep = replicated(mesh)
+    n_ep = 0
+    for leaf, sh in zip(flat_o, flat_sh):
+        if leaf.ndim == 0:
+            assert sh.is_equivalent_to(rep, 1)
+        elif leaf.shape[:1] == (4,):  # group0 stack leaves
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert sh.is_equivalent_to(
+                NamedSharding(mesh, P(EXPERT_AXIS)), leaf.ndim
+            )
+            n_ep += 1
+    # adam: mu + nu each contain w[4,8] and b[4]
+    assert n_ep == 4
+
+
+def test_capacity_bucket_granularity():
+    from nestinet_tpu.infer.device_pipeline import _capacity_bucket
+
+    assert _capacity_bucket(1) == 64
+    assert _capacity_bucket(64) == 64
+    assert _capacity_bucket(65) == 128
+    assert _capacity_bucket(268) == 384
+    assert _capacity_bucket(805) == 896
+    assert _capacity_bucket(896) == 896
+    assert _capacity_bucket(897) == 1024
