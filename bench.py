@@ -319,9 +319,11 @@ def main():
         # `value` is the fastest of THESE; any unpinned mode is recorded
         # as a secondary rate only.  Update alongside QUALITY.md.
         parity_pinned = {
-            "device_sparse_int8",      # QUALITY.md: avg RMS 4.494°
-            "device_sparse_bfloat16",  # QUALITY.md: avg RMS 4.491°
-            "sparse_bfloat16",         # QUALITY.md: avg RMS 4.559°
+            # QUALITY.md round-5 table (epoch-30 checkpoint, worst
+            # per-testset delta vs the host-dense f32 anchor):
+            "device_sparse_int8",      # 0.029° (B=1024)
+            "device_sparse_bfloat16",  # 0.025°
+            "sparse_bfloat16",         # 0.008°
             "dense_bfloat16",          # ≡ sparse (tests pin equality)
         }
         sweep = [
