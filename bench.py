@@ -3,11 +3,12 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
 
-value        end-to-end streaming inference rate (query points/sec/chip):
-             threaded host kd-tree patch extraction overlapped with
-             sparse (argmax-expert-only) MoE execution on the TPU —
-             MuPS + manager per patch, then exactly one expert CNN
-             (host-side expert bucketing; outputs identical to dense).
+value        end-to-end streaming inference rate (query points/sec/chip)
+             of the fastest parity-pinned serving mode — since round 3
+             that is fully device-resident extraction (grid-hash ball
+             query + MuPS + manager fused into program A) with sparse
+             argmax-expert routing (program B) at int8, B=1024; outputs
+             identical to the reference-faithful dense path.
 
 vs_baseline  value / reference-style rate ON THE SAME CHIP.  The
              reference publishes no numbers (BASELINE.md), and its
