@@ -323,7 +323,7 @@ def main():
             # QUALITY.md round-5 table (epoch-30 checkpoint, worst
             # per-testset delta vs the host-dense f32 anchor):
             "device_sparse_int8",      # 0.029° (B=1024)
-            "device_sparse_bfloat16",  # 0.025°
+            "device_sparse_bfloat16",  # 0.018° (B=512)
             "sparse_bfloat16",         # 0.008°
             "dense_bfloat16",          # ≡ sparse (tests pin equality)
         }
@@ -350,7 +350,7 @@ def main():
             # at B=1024 (activation-quant scales are per-tensor over
             # the batch, so B changes numerics).
             ("device_sparse", "int8", 1024),
-            ("device_sparse", "bfloat16", BATCH),
+            ("device_sparse", "bfloat16", 512),
             ("sparse", "bfloat16", BATCH),
             ("dense", "bfloat16", BATCH),
         ]
