@@ -342,11 +342,11 @@ def main():
             # (PERF.md rounds 4-5) measured program A scaling ~linearly
             # to 1024 while fixed terms amortize, and B=2048 regressing
             # (superlinear program A + FIFO-window collapse).  bf16
-            # stays at B=256 because that is the batch its QUALITY.md
-            # pin was measured at (the round-4 B=512 compile cliff was
-            # root-caused to the old CSR window math and is fixed —
-            # PERF.md round 5 — but a new batch size needs a new pin
-            # and bf16 is not the headline).  QUALITY.md pins int8 RMS
+            # device serving runs at B=512 — its measured-better
+            # operating point once the round-4 compile cliff was
+            # root-caused to the old CSR window math and fixed (PERF.md
+            # round 5) — and is pinned there (QUALITY.md round-5
+            # addendum, worst delta 0.018°).  QUALITY.md pins int8 RMS
             # at B=1024 (activation-quant scales are per-tensor over
             # the batch, so B changes numerics).
             ("device_sparse", "int8", 1024),

@@ -294,7 +294,21 @@ class PatchDataset:
                 count = int(filled[s])
                 tuple_count = count**T
                 if tuple_count > N:
-                    lin = rng.choice(tuple_count, N, replace=False)
+                    if tuple_count <= max(4 * N, 4096):
+                        lin = rng.choice(tuple_count, N, replace=False)
+                    else:
+                        # rng.choice(replace=False) permutes the WHOLE
+                        # population — count**T is 134M at N=512, T=3
+                        # (~1 GB int64 per scale per item).  For sparse
+                        # draws, rejection-sample N unique indices in
+                        # O(N) instead; the draw stays uniform without
+                        # replacement.
+                        seen = np.unique(rng.randint(0, tuple_count, 2 * N))
+                        while seen.size < N:
+                            seen = np.unique(np.concatenate(
+                                [seen, rng.randint(0, tuple_count, 2 * N)]
+                            ))
+                        lin = rng.permutation(seen)[:N]
                     tuple_count = N
                 else:
                     lin = np.arange(tuple_count)

@@ -71,10 +71,12 @@ def _parse_header(f):
     return fmt, elements
 
 
-def _pack_lists(lists):
-    """list-of-lists -> [N, k] array when uniform, else the list."""
+def _pack_lists(lists, dtype=np.int64):
+    """list-of-lists -> [N, k] array when uniform, else the list.
+    `dtype` follows the property's declared element type (float lists
+    must stay float — int64 was silently truncating them)."""
     if lists and all(len(x) == len(lists[0]) for x in lists):
-        return np.asarray(lists, dtype=np.int64)
+        return np.asarray(lists, dtype=dtype)
     return lists
 
 
@@ -155,10 +157,8 @@ def read_ply(path: str) -> dict:
                 if p[0] == "scalar":
                     parsed[p[1]] = np.asarray(cols[p[1]], dtype=p[2])
                 else:
-                    packed = _pack_lists(cols[p[1]])
-                    if p[3][0] == "f" and isinstance(packed, np.ndarray):
-                        packed = packed.astype(np.float64)
-                    parsed[p[1]] = packed
+                    elem_dt = np.float64 if p[3][0] == "f" else np.int64
+                    parsed[p[1]] = _pack_lists(cols[p[1]], dtype=elem_dt)
             if n_list == 1 and len(props) == 1:
                 out[name] = parsed[props[0][1]]  # faces convention
             else:
@@ -174,14 +174,10 @@ def read_ply_points(path: str) -> np.ndarray:
 
 def _ply_type(arr) -> str:
     dt = np.asarray(arr).dtype
-    key = dt.kind + str(dt.itemsize)
-    key = {"i1": "i1", "u1": "u1", "i2": "i2", "u2": "u2", "i4": "i4",
-           "u4": "u4", "f4": "f4", "f8": "f8"}.get(
-        dt.str[-2:], None
-    )
-    if key is None or key not in _NP_TO_PLY:
-        raise ValueError(f"unsupported PLY property dtype: {dt}")
-    return _NP_TO_PLY[key]
+    try:
+        return _NP_TO_PLY[dt.str[-2:]]
+    except KeyError:
+        raise ValueError(f"unsupported PLY property dtype: {dt}") from None
 
 
 def write_ply_elements(path: str, elements: dict, *, binary: bool = True) -> None:
@@ -204,7 +200,16 @@ def write_ply_elements(path: str, elements: dict, *, binary: bool = True) -> Non
                 or (isinstance(col, np.ndarray) and col.ndim == 2)
             )
             if is_list:
-                rows = [np.asarray(r, dtype="<i4") for r in col]
+                rows = []
+                for r in col:
+                    r = np.asarray(r)
+                    if r.dtype.kind == "f":
+                        raise ValueError(
+                            f"{ename}.{pname}: list properties are "
+                            "written as int32 indices; got float data "
+                            "(pass scalar float columns as 1-D arrays)"
+                        )
+                    rows.append(r.astype("<i4"))
             else:
                 rows = np.asarray(col)
                 if rows.ndim != 1:

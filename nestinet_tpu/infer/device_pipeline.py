@@ -91,10 +91,11 @@ def _dataset_window_caps(clouds, radii_frac) -> tuple:
     each flagship serving compile costs minutes — measured 110
     patches/s end-to-end (a ~40x regression) when the caps varied
     across a six-shape testset.  One dataset-wide maximum compiles
-    once; the cost is only the pow2-bucket slack in candidate lanes.
-    Occupancy is computed on the host from the raw clouds
-    (`window_occupancy_np` mirrors `build_grid` binning bit-for-bit;
-    the per-shape pre-shuffle doesn't change cell counts)."""
+    once; the cost is only the 128-granularity bucket slack in
+    candidate lanes (`_capacity_bucket`).  Occupancy is computed on the
+    host from the raw clouds (`window_occupancy_np` mirrors
+    `build_grid` binning bit-for-bit; the per-shape pre-shuffle doesn't
+    change cell counts)."""
     worst = [0] * len(radii_frac)
     for cloud in clouds:
         bbdiag = float(np.linalg.norm(cloud.max(0) - cloud.min(0)))

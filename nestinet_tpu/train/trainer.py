@@ -81,6 +81,17 @@ class Trainer:
 
     def make_loaders(self):
         cfg = self.cfg
+        if cfg.point_tuple > 1:
+            # Dataset-level capability only (provider.py:341): the MuPS
+            # models consume [*, 3] points, so a 3*T-wide tuple batch
+            # would fail deep inside jit with a broadcast error.  The
+            # reference's entry points likewise always pass 1.
+            raise ValueError(
+                "point_tuple > 1 is a dataset-level encoding; the "
+                "bundled MuPS models consume 3-D points — use "
+                "get_data_loader(point_tuple=...) directly for custom "
+                "consumers"
+            )
         train_loader, _ = get_data_loader(
             cfg.trainset,
             indir=cfg.data_path,

@@ -202,3 +202,35 @@ def test_ply_big_endian_mixed(tmp_path):
     assert [list(map(int, r)) for r in data["vertex_indices"]] == [
         [0, 1, 2], [3, 4, 5, 6]
     ]
+
+
+def test_ply_float_list_property_roundtrip_read(tmp_path):
+    """Float list properties must keep their values (pre-fix the packer
+    cast uniform lists to int64, silently truncating 0.5 -> 0.0)."""
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element face 2\n"
+        b"property list uchar float vals\n"
+        b"end_header\n"
+    )
+    body = b""
+    for row in ([0.5, 1.5, 2.25], [3.75, -0.125, 9.0]):
+        body += np.uint8(len(row)).tobytes()
+        body += np.asarray(row, "<f4").tobytes()
+    path = str(tmp_path / "fl.ply")
+    with open(path, "wb") as f:
+        f.write(header + body)
+    vals = read_ply(path)["face"]
+    np.testing.assert_allclose(
+        vals, [[0.5, 1.5, 2.25], [3.75, -0.125, 9.0]]
+    )
+
+
+def test_ply_write_rejects_float_list_columns(tmp_path):
+    from nestinet_tpu.data.ply import write_ply_elements
+
+    with pytest.raises(ValueError, match="list properties"):
+        write_ply_elements(
+            str(tmp_path / "bad.ply"),
+            {"vertex": {"pos": np.zeros((4, 3), np.float32)}},
+        )
