@@ -1,9 +1,11 @@
 #!/bin/bash
-# Warm the persistent XLA compilation cache (.jax_cache) for the
-# multi-chip dryrun so the driver's budgeted run deserializes compiled
-# executables instead of paying the multi-minute XLA:CPU SPMD compile
-# on 1-core hosts.  Run from the repo root after any change to the
-# train step, mesh layout, or dryrun config.
+# Warm the host-keyed XLA:CPU compilation cache for the multi-chip
+# dryrun.  NOTE: entries are host-CPU-keyed (core/platform.py), so this
+# only warms re-runs ON THE SAME HOST; a different driver host compiles
+# cold — measured 670 s for the full dryrun incl. the flagship-depth
+# SPMD certification (acceptable; certification runs last so earlier
+# evidence lands even under a tight budget).  Run from the repo root
+# after any change to the train step, mesh layout, or dryrun config.
 set -e
 cd "$(dirname "$0")/.."
 for n in 8 4 16; do
