@@ -13,6 +13,8 @@ import os
 
 import numpy as np
 
+from ..core import textio
+
 
 class ShapeScatterWriter:
     def __init__(self, output_dir: str, shape_names, shape_patch_counts,
@@ -60,15 +62,22 @@ class ShapeScatterWriter:
                 self._flush()
 
     def _flush(self):
+        # textio.savetxt: byte-identical np.savetxt replacement with C
+        # formatting — on this 1-core host the formatting runs on the
+        # async writer thread but its GIL time still comes out of the
+        # serving loop (~35 ms/1024 patches with np.savetxt, ~10x less
+        # native; docs/PERF.md round-5 host-tail section).
         name = self.shape_names[self.shape_ind]
-        np.savetxt(os.path.join(self.output_dir, name + ".normals"), self.normals)
+        textio.savetxt(
+            os.path.join(self.output_dir, name + ".normals"), self.normals
+        )
         if self.n_experts is not None:
-            np.savetxt(
+            textio.savetxt(
                 os.path.join(self.output_dir, name + ".experts"),
-                self.experts.astype(int),
+                self.experts,
                 fmt="%i",
             )
-            np.savetxt(
+            textio.savetxt(
                 os.path.join(self.output_dir, name + ".experts_probs"),
                 self.expert_probs,
             )
